@@ -1,0 +1,198 @@
+"""Tests for frustum geometry, voxel ranks and the LSS lift.
+
+Validates against a torch re-derivation of the reference math
+(`view_transformer_raw.py:121-158, 244-302, 406-429`) using only public
+torch ops, plus invariants (mass conservation of the scatter).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from veon_tpu.configs.base import GridConfig
+from veon_tpu.geometry.frustum import create_frustum, frustum_to_ego, voxel_ranks
+from veon_tpu.lift.lss import (
+    LSSLift,
+    depth_bins_one_hot_gt,
+    min_pool_depth,
+    one_hot_depth,
+    two_hot_depth,
+)
+
+torch = pytest.importorskip("torch")
+
+GRID = GridConfig(
+    x=(-8.0, 8.0, 2.0), y=(-8.0, 8.0, 2.0), z=(-1.0, 3.0, 1.0), depth=(1.0, 9.0, 1.0)
+)
+
+
+def _identity_metas(B, N):
+    s2e = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
+    # put cameras at origin looking +z with a simple pinhole
+    K = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
+    K[..., 0, 0] = 10.0
+    K[..., 1, 1] = 10.0
+    K[..., 0, 2] = 8.0
+    K[..., 1, 2] = 4.0
+    post_rot = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
+    post_tran = np.zeros((B, N, 3), dtype=np.float32)
+    bda = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    return s2e, K, post_rot, post_tran, bda
+
+
+def test_frustum_template_matches_reference_semantics():
+    fr = create_frustum(GRID, (16, 16), 4)
+    D = fr.shape[0]
+    assert D == 8  # (9-1)/1
+    assert fr.shape == (8, 4, 4, 3)
+    # x spans [0, 15] in 4 samples, depth is bin lower edges 1..8
+    np.testing.assert_allclose(fr[0, 0, :, 0], np.linspace(0, 15, 4))
+    np.testing.assert_allclose(fr[:, 0, 0, 2], np.arange(1.0, 9.0))
+
+
+def _torch_get_lidar_coor(frustum, s2e, K, post_rot, post_tran, bda):
+    """Re-derivation of get_lidar_coor with public torch ops."""
+    B, N = s2e.shape[:2]
+    fr = torch.from_numpy(frustum)
+    points = fr[None, None] - torch.from_numpy(post_tran).view(B, N, 1, 1, 1, 3)
+    points = torch.inverse(torch.from_numpy(post_rot)).view(B, N, 1, 1, 1, 3, 3).matmul(
+        points.unsqueeze(-1)
+    )
+    points = torch.cat(
+        (points[..., :2, :] * points[..., 2:3, :], points[..., 2:3, :]), 5
+    )
+    s2e_t = torch.from_numpy(s2e)
+    combine = s2e_t[:, :, :3, :3].matmul(torch.inverse(torch.from_numpy(K)))
+    points = combine.view(B, N, 1, 1, 1, 3, 3).matmul(points).squeeze(-1)
+    points = points + s2e_t[:, :, :3, 3].view(B, N, 1, 1, 1, 3)
+    points = torch.from_numpy(bda).view(B, 1, 1, 1, 1, 3, 3).matmul(
+        points.unsqueeze(-1)
+    ).squeeze(-1)
+    return points.numpy()
+
+
+def test_frustum_to_ego_matches_torch_chain():
+    B, N = 2, 3
+    rng = np.random.default_rng(3)
+    fr = create_frustum(GRID, (16, 16), 4)
+    s2e, K, post_rot, post_tran, bda = _identity_metas(B, N)
+    # random small rotations/translations to exercise the full chain
+    s2e[..., :3, 3] += rng.normal(0, 0.5, size=(B, N, 3)).astype(np.float32)
+    post_tran += rng.normal(0, 1.0, size=(B, N, 3)).astype(np.float32)
+    th = 0.1
+    rot = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]],
+        dtype=np.float32,
+    )
+    bda[:] = rot
+    want = _torch_get_lidar_coor(fr, s2e, K, post_rot, post_tran, bda)
+    got = np.asarray(
+        frustum_to_ego(
+            jnp.asarray(fr), jnp.asarray(s2e), jnp.asarray(K),
+            jnp.asarray(post_rot), jnp.asarray(post_tran), jnp.asarray(bda),
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_voxel_ranks_layout_and_mask():
+    # single point at known location
+    coor = jnp.zeros((1, 1, 1, 1, 3, 3))
+    coor = coor.at[0, 0, 0, 0, 0].set(jnp.array([-7.9, -7.9, -0.9]))  # voxel (0,0,0)
+    coor = coor.at[0, 0, 0, 0, 1].set(jnp.array([7.9, 7.9, 2.9]))  # voxel (7,7,3)
+    coor = coor.at[0, 0, 0, 0, 2].set(jnp.array([100.0, 0.0, 0.0]))  # out of range
+    ranks, valid = voxel_ranks(coor, GRID)
+    nx, ny, nz = GRID.size
+    assert (nx, ny, nz) == (8, 8, 4)
+    assert int(ranks[0, 0, 0, 0, 0]) == 0
+    assert int(ranks[0, 0, 0, 0, 1]) == ((3 * ny + 7) * nx + 7)
+    assert int(ranks[0, 0, 0, 0, 2]) == nx * ny * nz
+    assert bool(valid[0, 0, 0, 0, 0]) and not bool(valid[0, 0, 0, 0, 2])
+
+
+def _torch_two_hot(depth, grid: GridConfig, gamma=4.0):
+    """Reference semantics of get_two_hot_depth (view_transformer_raw.py:406-429)."""
+    D = grid.num_depth_bins
+    t = torch.from_numpy(depth)
+    centers = torch.arange(D + 1).float() * grid.depth[2] + (
+        grid.depth[0] + grid.depth[2] / 2
+    )
+    gap = -torch.abs(t[..., None] - centers) * gamma
+    gap = torch.clamp(gap, min=-16.0)
+    dist = torch.softmax(gap, dim=-1)[..., :D]
+    return np.moveaxis(dist.numpy(), -1, -3)
+
+
+def test_two_hot_depth_matches_reference_semantics():
+    rng = np.random.default_rng(5)
+    depth = rng.uniform(0.2, 12.0, size=(2, 3, 4, 5)).astype(np.float32)
+    got = np.asarray(two_hot_depth(jnp.asarray(depth), GRID))
+    want = _torch_two_hot(depth, GRID)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # rows sum to <= 1 (overflow bin dropped)
+    assert got.sum(axis=-3).max() <= 1.0 + 1e-5
+
+
+def test_one_hot_depth_is_hard_and_correct_bin():
+    depth = jnp.asarray([[[[1.6, 3.4]]]])  # centers at 1.5, 2.5, ...
+    oh = one_hot_depth(depth, GRID)
+    assert oh.shape == (1, 1, 8, 1, 2)
+    assert int(jnp.argmax(oh[0, 0, :, 0, 0])) == 0  # 1.6 closest to 1.5
+    assert int(jnp.argmax(oh[0, 0, :, 0, 1])) == 2  # 3.4 closest to 3.5
+    np.testing.assert_allclose(np.asarray(oh.sum(axis=2)), 1.0)
+
+
+def test_min_pool_depth_ignores_zeros():
+    d = np.zeros((1, 4, 4), dtype=np.float32)
+    d[0, 0, 0] = 5.0
+    d[0, 1, 1] = 3.0
+    out = np.asarray(min_pool_depth(jnp.asarray(d), 2))
+    assert out[0, 0, 0] == 3.0
+    assert out[0, 1, 1] == 1e5  # empty block
+
+
+def test_depth_bins_one_hot_gt_quantization():
+    # GT depth 1.2 -> (1.2 - (1-1))/1 = 1.2 -> bin index 1 -> one-hot slot 0
+    d = np.full((1, 2, 2), 1.2, dtype=np.float32)
+    oh = np.asarray(depth_bins_one_hot_gt(jnp.asarray(d), GRID, downsample=2))
+    assert oh.shape == (1, 1, 1, 8)
+    assert oh[0, 0, 0, 0] == 1.0 and oh.sum() == 1.0
+    # depth 0 (missing) -> all zeros
+    oh0 = np.asarray(depth_bins_one_hot_gt(jnp.zeros((1, 2, 2)), GRID, downsample=2))
+    assert oh0.sum() == 0.0
+
+
+def test_lss_lift_mass_conservation():
+    """Sum of voxel features over valid points equals sum of depth*feat mass."""
+    B, N = 1, 2
+    lift = LSSLift(grid=GRID, input_size=(16, 16), downsample=4, out_channels=3,
+                   ds_feat=(1, 1, 1))
+    s2e, K, post_rot, post_tran, bda = _identity_metas(B, N)
+    rng = np.random.default_rng(7)
+    feat = jnp.asarray(rng.standard_normal((B, N, 4, 4, 3)).astype(np.float32))
+    metric = jnp.asarray(rng.uniform(1.0, 8.0, size=(B, N, 4, 4)).astype(np.float32))
+    depth = two_hot_depth(metric, GRID)
+    vox = lift(feat, depth, jnp.asarray(s2e), jnp.asarray(K), jnp.asarray(post_rot),
+               jnp.asarray(post_tran), jnp.asarray(bda))
+    assert vox.shape == (B, 4, 8, 8, 3)
+    fr = jnp.asarray(create_frustum(GRID, (16, 16), 4))
+    coor = frustum_to_ego(fr, jnp.asarray(s2e), jnp.asarray(K), jnp.asarray(post_rot),
+                          jnp.asarray(post_tran), jnp.asarray(bda))
+    _, valid = voxel_ranks(coor, GRID)
+    # expected mass: sum over valid points of depth_prob * feat
+    mass = jnp.einsum("bndhw,bnhwc->c", depth * valid[:, :, :, :, :].astype(depth.dtype), feat)
+    np.testing.assert_allclose(np.asarray(vox.sum(axis=(0, 1, 2, 3))),
+                               np.asarray(mass), rtol=1e-3, atol=1e-3)
+
+
+def test_lss_lift_ds_maxpool_shape():
+    lift = LSSLift(grid=GRID, input_size=(16, 16), downsample=4, out_channels=3,
+                   ds_feat=(2, 2, 2))
+    B, N = 1, 1
+    s2e, K, post_rot, post_tran, bda = _identity_metas(B, N)
+    feat = jnp.ones((B, N, 4, 4, 3))
+    depth = jnp.ones((B, N, 8, 4, 4)) / 8
+    vox = lift(feat, depth, jnp.asarray(s2e), jnp.asarray(K), jnp.asarray(post_rot),
+               jnp.asarray(post_tran), jnp.asarray(bda))
+    assert vox.shape == (B, 2, 4, 4, 3)

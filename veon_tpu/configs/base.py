@@ -1,0 +1,259 @@
+"""Dataclass configuration tree for veon_tpu.
+
+One coherent config system replacing the reference's three-tier
+mmcv-python-config + detectron2 CfgNode yaml + argparse stack
+(semantics mirrored from /root/reference/configs/veon/*.py and
+mmdet3d/models/semantic_net/configs/san_config.py; mechanics are ours).
+All shapes here are static: everything downstream is jit-compiled.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Sequence, Tuple
+
+
+def _tuple(x):
+    return tuple(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Voxel grid + depth-bin configuration.
+
+    Semantics of `configs/veon/veon-temporal-base-512x1408-dav2-nodepthcache.py:33-38`:
+    each axis is (lower_bound, upper_bound, interval).
+    """
+
+    x: Tuple[float, float, float] = (-40.0, 40.0, 0.4)
+    y: Tuple[float, float, float] = (-40.0, 40.0, 0.4)
+    z: Tuple[float, float, float] = (-1.0, 5.4, 0.4)
+    depth: Tuple[float, float, float] = (1.0, 45.0, 0.5)
+
+    @property
+    def lower_bound(self) -> Tuple[float, float, float]:
+        return (self.x[0], self.y[0], self.z[0])
+
+    @property
+    def interval(self) -> Tuple[float, float, float]:
+        return (self.x[2], self.y[2], self.z[2])
+
+    @property
+    def size(self) -> Tuple[int, int, int]:
+        """(nx, ny, nz) voxel counts."""
+        return (
+            int(round((self.x[1] - self.x[0]) / self.x[2])),
+            int(round((self.y[1] - self.y[0]) / self.y[2])),
+            int(round((self.z[1] - self.z[0]) / self.z[2])),
+        )
+
+    @property
+    def num_depth_bins(self) -> int:
+        """D: number of frustum depth planes (88 for the default config)."""
+        return int(math.ceil((self.depth[1] - self.depth[0]) / self.depth[2]))
+
+    def scaled(self, ds_zyx: Sequence[int]) -> "GridConfig":
+        """Grid with z/y/x intervals multiplied by the feature downsample factors."""
+        dz, dy, dx = ds_zyx
+        return dataclasses.replace(
+            self,
+            x=(self.x[0], self.x[1], self.x[2] * dx),
+            y=(self.y[0], self.y[1], self.y[2] * dy),
+            z=(self.z[0], self.z[1], self.z[2] * dz),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """A generic ViT trunk description shared by CLIP / SAN / DINOv2 variants."""
+
+    width: int = 768
+    depth: int = 12
+    heads: int = 12
+    patch_size: int = 16
+    mlp_ratio: float = 4.0
+    # position-embedding grid the pretrained weights were trained at
+    pretrain_grid: Tuple[int, int] = (14, 14)
+
+
+@dataclasses.dataclass(frozen=True)
+class SANConfig:
+    """SAN side-adapter + CLIP recognition stack.
+
+    Mirrors MODEL.SAN / MODEL.SIDE_ADAPTER of
+    `semantic_net/configs/san_config.py:33-75` and the B/L yamls.
+    """
+
+    clip_model: str = "ViT-B-16"  # or "ViT-L-14-336"
+    clip_width: int = 768
+    clip_heads: int = 12
+    clip_layers: int = 12
+    clip_patch_size: int = 16
+    clip_embed_dim: int = 512  # output projection dim (512 B / 768 L)
+    clip_pretrain_grid: Tuple[int, int] = (14, 14)  # 224/16; L: 336/14 = 24
+    feature_last_layer_idx: int = 9  # shallow trunk length (9 B / 18 L)
+    clip_resolution: float = 0.5  # CLIP branch input downscale
+    rec_downsample_method: str = "max"
+    sos_token_format: str = "cls_token"
+    template_set: str = "vild"
+
+    # side adapter ViT (vit_w240n6d8_patch16 for both B and L)
+    side_width: int = 240
+    side_depth: int = 8
+    side_heads: int = 6
+    side_patch_size: int = 16
+    num_queries: int = 100
+    fusion_map: Tuple[Tuple[int, int], ...] = ((0, 0), (3, 1), (6, 2), (9, 3))
+    deep_supervision_idxs: Tuple[int, ...] = (8,)
+
+    # mask decoder / attn bias
+    attn_bias_heads: int = 12  # 12 B / 16 L (== CLIP heads)
+    attn_bias_layers: int = 1
+    attn_bias_embed_channels: int = 256
+    attn_bias_mlp_channels: int = 256
+    attn_bias_mlp_num_layers: int = 3
+    rescale_attn_bias: bool = True
+
+    # text tower (CLIP text transformer)
+    text_width: int = 512
+    text_heads: int = 8
+    text_layers: int = 12
+    text_context_length: int = 77
+    text_vocab_size: int = 49408
+
+
+@dataclasses.dataclass(frozen=True)
+class HSAConfig:
+    """High-resolution side adaptor (MODEL.HIGHRES_SIDE_ADAPTOR, san_config.py:78-93)."""
+
+    dim: int = 384
+    clip_dim: int = 768  # 768 B / 1024 L
+    mlp_dim: int = 384
+    patch_shape: Tuple[int, int] = (8, 8)
+    num_heads: int = 12  # 12 B / 16 L
+    # each entry: (block_idx, clip_cross_layer, clip_add_layer)
+    fusion_map: Tuple[Tuple[int, int, int], ...] = ((0, 3, 3), (1, 6, 6), (2, 9, 9))
+    manip_dim_head: int = 32
+    manip_attn_layers: int = 6
+    manip_add_layers: int = 2
+    manip_supp_dim: int = 384
+
+
+@dataclasses.dataclass(frozen=True)
+class PropagationConfig:
+    """3D propagation / occupancy decoder (MODEL.PROPAGATION_NETWORK, san_config.py:96-102)."""
+
+    dim: int = 256
+    layer_depth: int = 5  # yaml default 4; B config uses LAYER_DEPTH absent -> 4? see presets
+    clip_proj_dim: int = 512  # 512 B / 768 L
+    # (clip_layer, supp_idx, target_block): lifting map "12->0->0" B / "24->0->0" L
+    lifting_map: Tuple[Tuple[int, int, int], ...] = ((12, 0, 0),)
+    fusion_type: str = "cat_fusion"
+    num_temporal: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DepthConfig:
+    """DepthAnythingV2 adaptor (configs/veon/...py:83-101, depth_anything/dpt.py)."""
+
+    encoder: str = "vitl"  # vits | vitb | vitl
+    features: int = 256
+    out_channels: Tuple[int, int, int, int] = (256, 512, 1024, 1024)
+    max_depth: float = 80.0
+    use_lora: bool = True
+    lora_r: int = 16
+    lora_alpha: int = 1
+
+    @property
+    def vit(self) -> ViTConfig:
+        dims = {
+            "vits": ViTConfig(width=384, depth=12, heads=6, patch_size=14, pretrain_grid=(37, 37)),
+            "vitb": ViTConfig(width=768, depth=12, heads=12, patch_size=14, pretrain_grid=(37, 37)),
+            "vitl": ViTConfig(width=1024, depth=24, heads=16, patch_size=14, pretrain_grid=(37, 37)),
+        }
+        return dims[self.encoder]
+
+    @property
+    def intermediate_layer_idx(self) -> Tuple[int, ...]:
+        return {
+            "vits": (2, 5, 8, 11),
+            "vitb": (2, 5, 8, 11),
+            "vitl": (4, 11, 17, 23),
+        }[self.encoder]
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Stage-2 occupancy loss weights (semantic_net/loss/occ_loss.py:47-89)."""
+
+    out_channel: int = 18
+    empty_idx: int = 17
+    ignore_idx: int = 255
+    high_conf_thr: float = 0.99
+    stage2_start: int = 2
+    ov_class_number: int = 17
+    priority: Tuple[int, ...] = (2, 2, 3, 2, 2, 3, 3, 2, 3, 2, 2, 1, 1, 1, 1, 1, 1)
+    loss_voxel_ce_weight: float = 1.5
+    loss_featalign_det_weight: float = 35.0
+    loss_featalign_soft_weight: float = 25.0
+    bin_class_weights: Tuple[float, float] = (1.0, 0.5)
+    # depth pretraining (stage-1)
+    loss_depth_ce_weight: float = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Camera + input geometry (configs/veon/...py data_config)."""
+
+    cams: Tuple[str, ...] = (
+        "CAM_FRONT_LEFT",
+        "CAM_FRONT",
+        "CAM_FRONT_RIGHT",
+        "CAM_BACK_LEFT",
+        "CAM_BACK",
+        "CAM_BACK_RIGHT",
+    )
+    num_cams: int = 6
+    input_size: Tuple[int, int] = (512, 1408)
+    depth_input_size: Tuple[int, int] = (256, 704)
+    src_size: Tuple[int, int] = (900, 1600)
+    # augmentation ranges (disabled by default, matching the VEON configs)
+    resize: Tuple[float, float] = (0.0, 0.0)
+    rot: Tuple[float, float] = (0.0, 0.0)
+    flip: bool = False
+    crop_h: Tuple[float, float] = (0.0, 0.0)
+    resize_test: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class VeonConfig:
+    """Top-level model config."""
+
+    grid: GridConfig = GridConfig()
+    data: DataConfig = DataConfig()
+    san: SANConfig = SANConfig()
+    hsa: HSAConfig = HSAConfig()
+    propagation: PropagationConfig = PropagationConfig()
+    depth: DepthConfig = DepthConfig()
+    loss: LossConfig = LossConfig()
+
+    num_classes: int = 18
+    occ_size: Tuple[int, int, int] = (200, 200, 16)  # (X, Y, Z)
+    lss_feat_ds: Tuple[int, int, int] = (2, 2, 2)  # (z, h, w)
+    lss_out_channels: int = 256
+    lss_downsample: int = 16
+    num_temporal: int = 1
+    vocabulary: str = "nuscenes_brief"
+
+    # numerics
+    compute_dtype: str = "float32"  # "bfloat16" for the fast path
+
+    @property
+    def num_frames(self) -> int:
+        return self.num_temporal
+
+    @property
+    def feat_hw(self) -> Tuple[int, int]:
+        h, w = self.data.input_size
+        return (h // self.lss_downsample, w // self.lss_downsample)

@@ -1,0 +1,147 @@
+"""Lift-Splat-Shoot view transform, TPU-first.
+
+Re-designs `LSSViewTransformerRaw` (`mmdet3d/models/necks/view_transformer_raw.py`)
+as a stateless jit-friendly object: the frustum template is a compile-time
+constant, voxel ranks are computed in-graph with static shapes
+(geometry.frustum), and the pooling is veon_tpu.ops.bev_pool.
+All tensors are channel-last.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.base import GridConfig
+from ..geometry.frustum import create_frustum, frustum_to_ego, voxel_ranks
+from ..ops.bev_pool import bev_pool
+
+
+def min_pool_depth(depth: jnp.ndarray, downsample: int) -> jnp.ndarray:
+    """Min-pool metric depth, treating 0 as missing (maps to 1e5 first).
+
+    Semantics of `view_transformer_raw.py:393-404` (downsample_depth).
+    depth: (..., H, W) -> (..., H/ds, W/ds).
+    """
+    *lead, H, W = depth.shape
+    d = depth.reshape(*lead, H // downsample, downsample, W // downsample, downsample)
+    d = jnp.where(d == 0.0, 1e5, d)
+    return jnp.min(d, axis=(-3, -1))
+
+
+def _bin_centers(grid: GridConfig, num: int, dtype=jnp.float32) -> jnp.ndarray:
+    """num bin centers: arange(num)*dd + (d0 + dd/2) — `view_transformer_raw.py:417-418`."""
+    d0, _, dd = grid.depth
+    return jnp.arange(num, dtype=dtype) * dd + (d0 + dd / 2)
+
+
+def two_hot_depth(depth: jnp.ndarray, grid: GridConfig, gamma: float = 4.0) -> jnp.ndarray:
+    """Metric depth -> soft distribution over D depth bins ("two-hot").
+
+    Semantics of `get_two_hot_depth` (`view_transformer_raw.py:406-429`):
+    softmax over -gamma*|d - center_i| across D+1 bins (one overflow bin at
+    the far end), gap clamped at -16 with a straight-through trick (clamping
+    is a no-op in the forward; in JAX we express the same forward with a
+    stop_gradient offset so VJP matches the torch trick).
+
+    Args:
+      depth: (..., H, W) metric depth.
+    Returns:
+      (..., D, H, W) bin probabilities (overflow bin dropped).
+    """
+    D = grid.num_depth_bins
+    centers = _bin_centers(grid, D + 1, depth.dtype)
+    gap = -jnp.abs(depth[..., None] - centers) * gamma
+    # torch: where(gap >= MIN_GAP, gap, gap + (MIN_GAP - gap.detach()))
+    MIN_GAP = -16.0
+    gap = jnp.where(gap >= MIN_GAP, gap, gap + jax.lax.stop_gradient(MIN_GAP - gap))
+    dist = jax.nn.softmax(gap, axis=-1)[..., :D]
+    return jnp.moveaxis(dist, -1, -3)
+
+
+def one_hot_depth(depth: jnp.ndarray, grid: GridConfig) -> jnp.ndarray:
+    """Hard one-hot depth distribution (`get_one_hot_depth`, :431-456)."""
+    D = grid.num_depth_bins
+    centers = _bin_centers(grid, D + 1, depth.dtype)
+    d = jnp.clip(depth, max=500.0)
+    gap = -jnp.abs(d[..., None] - centers)
+    idx = jnp.argmax(gap, axis=-1)
+    onehot = jnp.eye(D + 1, dtype=depth.dtype)[idx][..., :D]
+    return jnp.moveaxis(onehot, -1, -3)
+
+
+def depth_bins_one_hot_gt(gt_depth: jnp.ndarray, grid: GridConfig, downsample: int) -> jnp.ndarray:
+    """Sparse LiDAR GT depth -> one-hot bin targets with a validity channel.
+
+    Semantics of `get_downsampled_gt_depth` (`view_transformer_raw.py:339-374`):
+    min-pool (0 = missing), quantize to bins with edge convention
+    (d - (d0 - dd)) / dd, out-of-range -> bin 0 (invalid).
+
+    Returns:
+      (..., h, w, D) one-hot; all-zero rows mean "no GT here".
+    """
+    D = grid.num_depth_bins
+    d0, _, dd = grid.depth
+    d = min_pool_depth(gt_depth, downsample)
+    q = (d - (d0 - dd)) / dd
+    q = jnp.where((q < D + 1) & (q >= 0.0), q, 0.0)
+    oh = jnp.eye(D + 1, dtype=gt_depth.dtype)[q.astype(jnp.int32)]
+    return oh[..., 1:]
+
+
+@dataclasses.dataclass(frozen=True)
+class LSSLift:
+    """The LSS lift: (per-pixel features, two-hot depth, camera metas) -> voxel grid.
+
+    Equivalent surface to `LSSViewTransformerRaw.forward` (:537-555) with
+    collapse_z=False and the [2,2,2] ds max-pool.
+    """
+
+    grid: GridConfig
+    input_size: Tuple[int, int]
+    downsample: int = 16
+    out_channels: int = 256
+    ds_feat: Tuple[int, int, int] = (2, 2, 2)  # (z, h, w) output max-pool
+
+    @property
+    def frustum(self) -> np.ndarray:
+        return create_frustum(self.grid, self.input_size, self.downsample)
+
+    @property
+    def num_depth_bins(self) -> int:
+        return self.grid.num_depth_bins
+
+    def __call__(
+        self,
+        feat: jnp.ndarray,
+        depth: jnp.ndarray,
+        sensor2ego: jnp.ndarray,
+        cam2img: jnp.ndarray,
+        post_rot: jnp.ndarray,
+        post_tran: jnp.ndarray,
+        bda: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Args:
+          feat: (B, N, h, w, C) context features (channel-last).
+          depth: (B, N, D, h, w) depth-bin probabilities.
+          sensor2ego: (B, N, 4, 4); cam2img: (B, N, 3, 3);
+          post_rot: (B, N, 3, 3); post_tran: (B, N, 3); bda: (B, 3, 3).
+
+        Returns:
+          (B, Z', Y', X', C) voxel features after the (z,h,w) max-pool
+          (Z' = nz/dz etc.), channel-last.
+        """
+        frustum = jnp.asarray(self.frustum, dtype=feat.dtype)
+        coor = frustum_to_ego(frustum, sensor2ego, cam2img, post_rot, post_tran, bda)
+        ranks, _ = voxel_ranks(coor, self.grid)
+        vox = bev_pool(depth, feat, ranks, self.grid.size)  # (B, Z, Y, X, C)
+        dz, dh, dw = self.ds_feat
+        if (dz, dh, dw) != (1, 1, 1):
+            B, Z, Y, X, C = vox.shape
+            vox = vox.reshape(B, Z // dz, dz, Y // dh, dh, X // dw, dw, C)
+            vox = jnp.max(vox, axis=(2, 4, 6))
+        return vox
