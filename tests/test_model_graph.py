@@ -1,0 +1,99 @@
+"""End-to-end graph tests for VeonModel on the tiny test config (CPU)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from veon_tpu.configs import presets
+from veon_tpu.model.veon import VeonModel, fusion_rule
+from veon_tpu.nn import text as text_mod
+
+
+def _metas(B, F, N, rng):
+    def eye(n, *lead):
+        return np.tile(np.eye(n, dtype=np.float32), lead + (1, 1))
+
+    s2e = eye(4, B, F, N)
+    for i in range(N):
+        th = i * 2 * np.pi / N
+        R = np.array(
+            [[np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]],
+            np.float32,
+        )
+        s2e[:, :, i, :3, :3] = R
+    e2g = eye(4, B, F, N)
+    e2g[..., 0, 3] = rng.normal(0, 1, size=(B, F, N)).astype(np.float32)
+    K = eye(3, B, F, N)
+    K[..., 0, 0] = 60.0
+    K[..., 1, 1] = 60.0
+    K[..., 0, 2] = 88.0
+    K[..., 1, 2] = 32.0
+    post_rot = eye(3, B, F, N)
+    post_tran = np.zeros((B, F, N, 3), np.float32)
+    bda = eye(3, B)
+    metas = {
+        "sensor2egos": jnp.asarray(s2e),
+        "ego2globals": jnp.asarray(e2g),
+        "intrins": jnp.asarray(K),
+        "post_rots": jnp.asarray(post_rot),
+        "post_trans": jnp.asarray(post_tran),
+        "bda": jnp.asarray(bda),
+        "lidarego2global": jnp.asarray(eye(4, B)),
+        "prev_lidarego2global": jnp.asarray(eye(4, B, max(F - 1, 1))),
+    }
+    return metas
+
+
+def _run_model(num_temporal):
+    cfg = presets.veon_tiny_test(num_temporal=num_temporal)
+    rng = np.random.default_rng(0)
+    B, F, N = 1, num_temporal, 6
+    H, W = cfg.data.input_size
+    imgs = jnp.asarray(rng.standard_normal((B, F, N, H, W, 3)).astype(np.float32))
+    depth = jnp.asarray(
+        rng.uniform(1.0, 40.0, size=(B, F, N, H // 2, W // 2)).astype(np.float32)
+    )
+    metas = _metas(B, F, N, rng)
+    prompts, refl = text_mod.build_vocabulary()
+    P = len(prompts)
+    ovw = jnp.asarray(rng.standard_normal((P + 1, cfg.san.clip_embed_dim)).astype(np.float32))
+
+    model = VeonModel(cfg=cfg)
+    params = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), imgs, depth, metas, ovw, train=False
+    )
+    out = jax.jit(model.apply, static_argnames=("train",))(
+        params, imgs, depth, metas, ovw, train=False
+    )
+    return cfg, refl, out
+
+
+def test_full_graph_single_frame():
+    cfg, refl, out = _run_model(num_temporal=1)
+    nx, ny, nz = cfg.grid.size
+    P = 66
+    assert out["bin_occ"].shape == (1, nz, ny, nx, 2)
+    assert out["feat_occ"].shape == (1, nz, ny, nx, cfg.propagation.clip_proj_dim)
+    assert out["sem_occ_raw"].shape == (1, nz, ny, nx, P + 1)
+    assert out["sem_seg_ds"].shape[0:2] == (1, 6)
+    assert out["sem_seg_ds"].shape[-1] == P
+    for v in out.values():
+        assert not bool(jnp.isnan(v).any())
+
+    # synonym merge + fusion rule
+    m = text_mod.merge_matrix(refl)
+    merged = text_mod.merge_classes_max(out["sem_occ_raw"], m, axis=-1)
+    assert merged.shape == (1, nz, ny, nx, 18)
+    pred = fusion_rule(merged, out["bin_occ"])
+    assert pred.shape == (1, nx, ny, nz)
+    assert int(pred.max()) <= 17 and int(pred.min()) >= 0
+
+
+def test_full_graph_temporal():
+    cfg, refl, out = _run_model(num_temporal=2)
+    nx, ny, nz = cfg.grid.size
+    assert out["bin_occ"].shape == (1, nz, ny, nx, 2)
+    for v in out.values():
+        assert not bool(jnp.isnan(v).any())

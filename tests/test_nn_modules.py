@@ -1,0 +1,257 @@
+"""Shape and numeric tests for the flax module stack (tiny dims, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from veon_tpu.nn.attention import FusedQKVAttention
+from veon_tpu.nn.layers import LayerNorm, LoRADense, quick_gelu
+from veon_tpu.nn.vit import (
+    CLIPBlock,
+    CLIPRecHead,
+    CLIPTextEncoder,
+    CLIPVisualExtractor,
+    DinoV2Trunk,
+    TimmBlock,
+    format_attn_biases,
+)
+from veon_tpu.nn.san import SideAdapterNetwork
+from veon_tpu.nn.hsa import HighresSideAdaptor
+from veon_tpu.nn.dpt import DepthAnythingV2
+from veon_tpu.nn.alignnet import AlignNet3D, LiftFusion, TemporalFusion
+from veon_tpu.nn import text as text_mod
+from veon_tpu.configs.base import DepthConfig, ViTConfig
+from veon_tpu.configs import presets
+
+RNG = np.random.default_rng(0)
+KEY = jax.random.PRNGKey(0)
+
+
+def _r(*shape):
+    return jnp.asarray(RNG.standard_normal(shape).astype(np.float32))
+
+
+def test_cross_attn_with_self_bias_matches_torch_math():
+    """Pin the rec-head attention to the published math
+    (attn_helper.py:34-302) re-derived with plain torch ops."""
+    torch = pytest.importorskip("torch")
+    B, K, L, E, H = 2, 3, 5, 8, 2
+    q_in = RNG.standard_normal((B, K, E)).astype(np.float32)
+    m_in = RNG.standard_normal((B, L, E)).astype(np.float32)
+    bias = RNG.standard_normal((B, H, K, L)).astype(np.float32)
+
+    mod = FusedQKVAttention(num_heads=H)
+    params = mod.init(KEY, jnp.asarray(q_in), bias=jnp.asarray(bias), mode="cross",
+                      mem=jnp.asarray(m_in))
+    got = mod.apply(params, jnp.asarray(q_in), bias=jnp.asarray(bias), mode="cross",
+                    mem=jnp.asarray(m_in))
+
+    W = np.asarray(params["params"]["in_proj"]["kernel"])  # (E, 3E)
+    b = np.asarray(params["params"]["in_proj"]["bias"])
+    Wo = np.asarray(params["params"]["out_proj"]["kernel"])
+    bo = np.asarray(params["params"]["out_proj"]["bias"])
+
+    tq = torch.from_numpy(q_in)
+    tm = torch.from_numpy(m_in)
+    tW = torch.from_numpy(W)
+    proj_q = tq @ tW + torch.from_numpy(b)
+    proj_m = tm @ tW + torch.from_numpy(b)
+    q, q_k, q_v = proj_q.chunk(3, -1)
+    _, k, v = proj_m.chunk(3, -1)
+    hd = E // H
+    scale = hd ** -0.5
+
+    def heads(t):
+        return t.reshape(t.shape[0], t.shape[1], H, hd).permute(0, 2, 1, 3)
+
+    q, q_k, q_v, k, v = map(heads, (q, q_k, q_v, k, v))
+    logits = (q * scale) @ k.transpose(-1, -2) + torch.from_numpy(bias)
+    self_w = ((q * scale) * q_k).sum(-1, keepdim=True)
+    joint = torch.softmax(torch.cat([logits, self_w], -1), -1)
+    out = joint[..., :-1] @ v + joint[..., -1:] * q_v
+    out = out.permute(0, 2, 1, 3).reshape(B, K, E)
+    want = (out @ torch.from_numpy(Wo) + torch.from_numpy(bo)).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_clip_block_self_and_cross_share_params():
+    blk = CLIPBlock(heads=2)
+    x = _r(2, 6, 8)
+    mem = _r(2, 10, 8)
+    bias = _r(2, 2, 6, 10)
+    params = blk.init(KEY, x)
+    y1 = blk.apply(params, x)
+    y2 = blk.apply(params, x, attn_mask=bias, mode="cross", mem=mem)
+    assert y1.shape == x.shape and y2.shape == x.shape
+    # causal-mask path
+    mask = jnp.triu(jnp.full((6, 6), -1e9), k=1)[None, None]
+    y3 = blk.apply(params, x, attn_mask=mask)
+    assert not np.allclose(np.asarray(y1), np.asarray(y3))
+
+
+def test_clip_visual_extractor_outputs():
+    mod = CLIPVisualExtractor(width=16, heads=2, num_layers=3, patch_size=4,
+                              pretrain_grid=(2, 2))
+    img = _r(2, 16, 24, 3)
+    params = mod.init(KEY, img)
+    feats = mod.apply(params, img)
+    assert feats["0"].shape == (2, 4, 6, 16)
+    assert feats["3"].shape == (2, 4, 6, 16)
+    assert feats["3_cls"].shape == (2, 1, 16)
+
+
+def test_clip_rec_head_and_update_remaining():
+    extractor = CLIPVisualExtractor(width=16, heads=2, num_layers=2, patch_size=4,
+                                    pretrain_grid=(2, 2))
+    img = _r(1, 16, 24, 3)
+    p1 = extractor.init(KEY, img)
+    feats = extractor.apply(p1, img)
+    head = CLIPRecHead(width=16, heads=2, first_layer_idx=2, total_layers=4,
+                       out_dim=12, sos_token_num=5)
+    bias = _r(1, 2, 5, 8, 12)  # (B, Hb, Q, h_side, w_side)
+    p2 = head.init(KEY, feats, bias)
+    sos = head.apply(p2, feats, bias)
+    assert sos.shape == (1, 5, 12)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(sos, axis=-1)), 1.0, rtol=1e-5)
+    # dense-bias re-run: attns (num_blocks, B, H, L, L), L = 4*6
+    attns = _r(2, 1, 2, 24, 24)
+    feats2 = head.apply(p2, feats, attns, method=CLIPRecHead.update_remaining)
+    assert feats2["4"].shape == (1, 4, 6, 16)
+    assert feats2["clip_feat_proj"].shape == (1, 4, 6, 12)
+
+
+def test_side_adapter_network_shapes():
+    cfg = presets.veon_tiny_test().san
+    side = SideAdapterNetwork(cfg=cfg)
+    img = _r(1, 64, 176, 3)
+    # clip feats at half res 32x88 / patch 16 -> 2x5? use extractor shape 2x5
+    clip_feats = {str(i): _r(1, 2, 5, cfg.clip_width) for i in range(cfg.feature_last_layer_idx + 1)}
+    params = side.init(KEY, img, clip_feats)
+    mask_preds, attn_bias, san_feats = side.apply(params, img, clip_feats)
+    # side grid: 64/16 x 176/16 = 4 x 11
+    assert mask_preds.shape == (1, cfg.num_queries, 4, 11)
+    assert attn_bias.shape == (1, cfg.attn_bias_heads, cfg.num_queries, 4, 11)
+    assert len(san_feats) == cfg.side_depth
+
+
+def test_hsa_shapes():
+    cfg = presets.veon_tiny_test().hsa
+    hsa = HighresSideAdaptor(cfg=cfg)
+    img = _r(1, 64, 176, 3)
+    clip_feats = {str(i): _r(1, 2, 5, cfg.clip_dim) for i in range(10)}
+    params = hsa.init(KEY, img, clip_feats)
+    attns, supp = hsa.apply(params, img, clip_feats)
+    # HSA grid 64/8 x 176/8 = 8 x 22; clip grid 2x5 -> L = 10
+    assert attns.shape == (cfg.manip_attn_layers, 1, cfg.num_heads, 10, 10)
+    assert supp.shape == (1, 8, 22, cfg.manip_supp_dim)
+
+
+def test_dpt_depth_anything_tiny():
+    cfg = DepthConfig(encoder="vits", features=8, out_channels=(4, 8, 8, 8),
+                      max_depth=80.0, use_lora=True, lora_r=2)
+    # shrink the trunk via a custom take: monkeypatch through direct trunk use
+    mod = DepthAnythingV2(cfg=cfg)
+    img = _r(1, 28, 42, 3)
+
+    # vits: width 384 is heavy for CPU test; accept one forward at tiny image
+    params = mod.init(KEY, img)
+    depth = mod.apply(params, img)
+    assert depth.shape == (1, 28, 42)
+    assert bool(jnp.all(depth >= 0)) and bool(jnp.all(depth <= 80.0))
+    # LoRA params exist
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    assert any("lora_A" in jax.tree_util.keystr(p) for p, _ in flat)
+
+
+def test_dino_trunk_take_layers():
+    trunk = DinoV2Trunk(width=16, depth=4, heads=2, patch_size=4, pretrain_grid=3,
+                        take_layers=(1, 3), lora_r=2)
+    img = _r(2, 12, 16, 3)
+    params = trunk.init(KEY, img)
+    outs = trunk.apply(params, img)
+    assert len(outs) == 2
+    tokens, cls = outs[0]
+    assert tokens.shape == (2, 12, 16) and cls.shape == (2, 16)
+
+
+def test_text_encoder_and_classifier():
+    enc = CLIPTextEncoder(width=16, heads=2, num_layers=2, out_dim=12,
+                          vocab_size=49408, context_length=77)
+    tok = text_mod.ClipTokenizer()  # fallback mode
+    prompts, refl = text_mod.build_vocabulary("nuscenes_brief")
+    assert len(prompts) == 66 and max(refl) == 16
+    tokens = jnp.asarray(tok.tokenize([t.format(p) for t in text_mod.VILD_TEMPLATES[:2]
+                                       for p in prompts[:3]]))
+    params = enc.init(KEY, tokens)
+    emb = enc.apply(params, tokens)
+    assert emb.shape == (6, 12)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(emb, axis=-1)), 1.0, rtol=1e-5)
+    per_template = emb.reshape(2, 3, 12)
+    w = text_mod.classifier_weights_from_embeddings(per_template)
+    assert w.shape == (3, 12)
+    full = text_mod.ov_classifier_weight(w, _r(1, 12), jnp.asarray(0.5))
+    assert full.shape == (4, 12)
+
+
+def test_merge_classes_max_matches_loop():
+    prompts, refl = text_mod.build_vocabulary()
+    m = text_mod.merge_matrix(refl, extra_rows=1)
+    assert m.shape == (18, 67)
+    x = _r(2, 67, 3)
+    got = text_mod.merge_classes_max(x, m, axis=1)
+    # loop oracle
+    want = np.full((2, 18, 3), -np.inf, dtype=np.float32)
+    xn = np.asarray(x)
+    for i, g in enumerate(refl):
+        want[:, g] = np.maximum(want[:, g], xn[:, i])
+    want[:, 17] = xn[:, 66]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_alignnet3d_and_temporal():
+    cfg = presets.veon_tiny_test().propagation
+    net = AlignNet3D(cfg=cfg, clip_outdim=12)
+    x = _r(1, 2, 10, 10, cfg.dim)
+    params = net.init(KEY, x)
+    out = net.apply(params, x)
+    assert out["bin_occ"].shape == (1, 2, 10, 10, 2)
+    assert out["feat_occ"].shape == (1, 2, 10, 10, 12)
+    assert bool(jnp.all(jnp.abs(out["feat_occ"]) <= 0.5))
+
+    # temporal path
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, num_temporal=2)
+    net2 = AlignNet3D(cfg=cfg2, clip_outdim=12)
+    prevs = [_r(1, 2, 10, 10, cfg.dim)]
+    params2 = net2.init(KEY, x, prevs)
+    out2 = net2.apply(params2, x, prevs)
+    assert out2["bin_occ"].shape == (1, 2, 10, 10, 2)
+
+
+def test_lift_fusion_shapes():
+    cfg = presets.veon_tiny_test().propagation
+    fusion = LiftFusion(cfg=cfg)
+    supp = _r(1, 8, 22, 16)
+    clip = _r(1, 2, 5, 32)
+    params = fusion.init(KEY, supp, clip, (4, 11))
+    out = fusion.apply(params, supp, clip, (4, 11))
+    assert out.shape == (1, 4, 11, cfg.dim)
+
+
+def test_format_attn_biases():
+    bias = _r(2, 1, 5, 8, 12)
+    out = format_attn_biases(bias, (4, 6), num_heads=3)
+    assert out.shape == (2, 3, 5, 24)
+
+
+def test_lora_dense_zero_init_is_identity_delta():
+    mod = LoRADense(7, lora_r=3)
+    x = _r(2, 5)
+    params = mod.init(KEY, x)
+    base_only = mod.apply(
+        {"params": {**params["params"], "lora_B": jnp.zeros_like(params["params"]["lora_B"])}}, x
+    )
+    full = mod.apply(params, x)
+    # lora_B initialized to zero -> identical
+    np.testing.assert_allclose(np.asarray(base_only), np.asarray(full))

@@ -1,0 +1,437 @@
+"""torch -> flax weight converters for the four foreign checkpoint dialects
+(SURVEY.md hard-part 3): open_clip CLIP, detectron2-SAN, timm side-ViT, and
+DINOv2(+LoRA)/DPT — plus the reference's dual-checkpoint loading convention
+(`load_from` with revise_keys prefixing + `depth_load_from`,
+`apis/train.py:316-325`, `configs/...dav2-nodepthcache.py:266-271`).
+
+Inputs are plain {str: np.ndarray} state dicts (load .pth via
+`load_torch_state_dict`). Outputs are nested param dicts matching the
+veon_tpu module trees, including the stacked-scan layouts of
+nn.vit.ScanBlocks.
+
+Layout transforms:
+  Linear (out,in) -> kernel (in,out);     Conv2d (o,i,kh,kw) -> (kh,kw,i,o)
+  Conv3d (o,i,kd,kh,kw) -> (kd,kh,kw,i,o); ConvT2d (i,o,kh,kw) -> (kh,kw,i,o)
+  LayerNorm weight/bias -> scale/bias;    BN running stats -> batch_stats
+  MHA in_proj_weight (3E,E) -> (E,3E);    LoRA A (r,in)->(in,r), B (o,r)->(r,o)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..configs.base import DepthConfig, SANConfig, VeonConfig
+
+SD = Dict[str, np.ndarray]
+
+
+def load_torch_state_dict(path: str) -> SD:
+    """Load a .pth into numpy, unwrapping {'state_dict': ...} containers
+    (the convention handled by tools/misc/process_san_pth.py:20-36)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+        obj = obj["model"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items() if hasattr(v, "cpu")}
+
+
+def revise_keys(sd: SD, rules: Sequence[Tuple[str, str]]) -> SD:
+    """Regex key remapping (mmcv load_checkpoint revise_keys semantics)."""
+    import re
+
+    out = sd
+    for pat, repl in rules:
+        out = {re.sub(pat, repl, k): v for k, v in out.items()}
+    return out
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _j(prefix: str, name: str) -> str:
+    return f"{prefix}.{name}" if prefix else name
+
+def _lin(sd, key):
+    w = sd[_j(key, "weight")].T
+    out = {"kernel": w}
+    if _j(key, "bias") in sd:
+        out["bias"] = sd[_j(key, "bias")]
+    return out
+
+
+def _lora_lin(sd, key):
+    out = {"base": _lin(sd, key)}
+    if _j(key, "lora_A") in sd:
+        out["lora_A"] = sd[_j(key, "lora_A")].T
+        out["lora_B"] = sd[_j(key, "lora_B")].T
+    return out
+
+
+def _ln(sd, key):
+    return {"scale": sd[_j(key, "weight")], "bias": sd[_j(key, "bias")]}
+
+
+def _conv2d(sd, key, bias=None):
+    w = sd[_j(key, "weight")].transpose(2, 3, 1, 0)
+    out = {"kernel": w}
+    if _j(key, "bias") in sd and bias is not False:
+        out["bias"] = sd[_j(key, "bias")]
+    return out
+
+
+def _conv3d(sd, key):
+    w = sd[_j(key, "weight")].transpose(2, 3, 4, 1, 0)
+    out = {"kernel": w}
+    if _j(key, "bias") in sd:
+        out["bias"] = sd[_j(key, "bias")]
+    return out
+
+
+def _convT2d(sd, key):
+    # flax ConvTranspose applies the kernel un-flipped (gradient-of-conv
+    # convention); torch ConvTranspose2d flips — so flip spatial dims here.
+    w = sd[_j(key, "weight")].transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+    out = {"kernel": w}
+    if _j(key, "bias") in sd:
+        out["bias"] = sd[_j(key, "bias")]
+    return out
+
+
+def _bn(sd, key):
+    params = {"scale": sd[_j(key, "weight")], "bias": sd[_j(key, "bias")]}
+    stats = {"mean": sd[_j(key, "running_mean")], "var": sd[_j(key, "running_var")]}
+    return params, stats
+
+
+def _mha(sd, key):
+    """torch nn.MultiheadAttention -> FusedQKVAttention."""
+    return {
+        "in_proj": {"kernel": sd[_j(key, "in_proj_weight")].T,
+                    "bias": sd[_j(key, "in_proj_bias")]},
+        "out_proj": _lin(sd, _j(key, "out_proj")),
+    }
+
+
+def _clip_block(sd, key):
+    """open_clip ResidualAttentionBlock -> CLIPBlock params."""
+    return {
+        "ln_1": _ln(sd, _j(key, "ln_1")),
+        "attn": _mha(sd, _j(key, "attn")),
+        "ln_2": _ln(sd, _j(key, "ln_2")),
+        "mlp": {"fc1": {"base": _lin(sd, _j(key, "mlp.c_fc"))},
+                "fc2": {"base": _lin(sd, _j(key, "mlp.c_proj"))}},
+    }
+
+
+def _stack(blocks: List[Dict]) -> Dict:
+    """Stack per-layer param trees along a new leading axis (ScanBlocks)."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *blocks)
+
+
+def _timm_block(sd, key):
+    return {
+        "norm1": _ln(sd, _j(key, "norm1")),
+        "attn": {"qkv": {"base": _lin(sd, _j(key, "attn.qkv"))},
+                 "proj": {"base": _lin(sd, _j(key, "attn.proj"))}},
+        "norm2": _ln(sd, _j(key, "norm2")),
+        "mlp": {"fc1": {"base": _lin(sd, _j(key, "mlp.fc1"))},
+                "fc2": {"base": _lin(sd, _j(key, "mlp.fc2"))}},
+    }
+
+
+def _dino_block(sd, key):
+    return {
+        "norm1": _ln(sd, _j(key, "norm1")),
+        "attn": {"qkv": _lora_lin(sd, _j(key, "attn.qkv")),
+                 "proj": _lora_lin(sd, _j(key, "attn.proj"))},
+        "ls1_gamma": sd[_j(key, "ls1.gamma")],
+        "norm2": _ln(sd, _j(key, "norm2")),
+        "mlp": {"fc1": _lora_lin(sd, _j(key, "mlp.fc1")),
+                "fc2": _lora_lin(sd, _j(key, "mlp.fc2"))},
+        "ls2_gamma": sd[_j(key, "ls2.gamma")],
+    }
+
+
+# ---------------------------------------------------------------- towers
+
+def convert_clip_visual(sd: SD, prefix: str, cfg: SANConfig,
+                        save_layers: Sequence[int]) -> Dict:
+    """open_clip VisionTransformer (shallow trunk) -> CLIPVisualExtractor."""
+    p = prefix
+    out = {
+        "conv1": _conv2d(sd, f"{p}conv1", bias=False),
+        "class_embedding": sd[f"{p}class_embedding"],
+        "positional_embedding": sd[f"{p}positional_embedding"],
+        "ln_pre": _ln(sd, f"{p}ln_pre"),
+    }
+    saves = tuple(sorted(set(save_layers) | {0, cfg.feature_last_layer_idx}))
+    for si in range(len(saves) - 1):
+        a, b = saves[si], saves[si + 1]
+        blocks = [_clip_block(sd, f"{p}transformer.resblocks.{i}") for i in range(a, b)]
+        out[f"segment_{a}_{b}"] = {"blocks": {"block": _stack(blocks)}}
+    return out
+
+
+def convert_rec_head(sd: SD, prefix: str, cfg: SANConfig,
+                     layer_offset: int = 0, resblocks_key: str = "resblocks") -> Dict:
+    """open_clip deep trunk + ln_post + proj -> CLIPRecHead (stacked scan).
+
+    From a raw open_clip visual tower use
+    layer_offset=cfg.feature_last_layer_idx, resblocks_key="transformer.resblocks";
+    a SAN dump's clip_rec_head re-indexes the sliced ModuleList from 0.
+    """
+    p = prefix
+    n = cfg.clip_layers - cfg.feature_last_layer_idx
+    blocks = [
+        _clip_block(sd, f"{p}{resblocks_key}.{layer_offset + i}") for i in range(n)
+    ]
+    return {
+        "resblocks": {"block": _stack(blocks)},
+        "ln_post": _ln(sd, f"{p}ln_post"),
+        "proj_kernel": sd[f"{p}proj"],
+    }
+
+
+def convert_text_tower(sd: SD, prefix: str, cfg: SANConfig) -> Dict:
+    """open_clip text transformer -> CLIPTextEncoder (stacked scan)."""
+    p = prefix
+    blocks = [_clip_block(sd, f"{p}transformer.resblocks.{i}")
+              for i in range(cfg.text_layers)]
+    return {
+        "token_embedding": {"embedding": sd[f"{p}token_embedding.weight"]},
+        "positional_embedding": sd[f"{p}positional_embedding"],
+        "resblocks": {"block": _stack(blocks)},
+        "ln_final": _ln(sd, f"{p}ln_final"),
+        "text_projection": sd[f"{p}text_projection"],
+    }
+
+
+def convert_side_adapter(sd: SD, prefix: str, cfg: SANConfig) -> Dict:
+    """RegionwiseSideAdapterNetwork (timm ViT + fusion + mask decoder)."""
+    p = prefix
+    out = {
+        "patch_embed": _conv2d(sd, f"{p}vit_model.patch_embed.proj"),
+        "pos_embed": sd[f"{p}vit_model.pos_embed"][0],
+        "query_embed": sd[f"{p}query_embed"][0],
+        "query_pos_embed": sd[f"{p}query_pos_embed"][0],
+    }
+    for i in range(cfg.side_depth):
+        out[f"blocks_{i}"] = _timm_block(sd, f"{p}vit_model.blocks.{i}")
+    for blk_idx, _clip in cfg.fusion_map:
+        fk = f"{p}fusion_layers.layer_{blk_idx}"
+        out[f"fusion_layer_{blk_idx}"] = {
+            "ln": {"scale": sd[f"{fk}.input_proj.0.weight"],
+                   "bias": sd[f"{fk}.input_proj.0.bias"]},
+            "proj": {"kernel": sd[f"{fk}.input_proj.1.weight"][:, :, 0, 0].T,
+                     "bias": sd[f"{fk}.input_proj.1.bias"]},
+        }
+    md = f"{p}mask_decoder"
+    dec: Dict[str, Any] = {}
+    for branch, conv in (("query_mlp", False), ("pix_mlp", True), ("attn_mlp", True)):
+        layers = {}
+        for i in range(cfg.attn_bias_mlp_num_layers):
+            key = f"{md}.{branch}.layers.{i}"
+            if conv:
+                layers[f"layers_{i}"] = {
+                    "kernel": sd[_j(key, "weight")][:, :, 0, 0].T,
+                    "bias": sd[_j(key, "bias")],
+                }
+            else:
+                layers[f"layers_{i}"] = _lin(sd, key)
+        dec[branch] = layers
+    if cfg.rescale_attn_bias:
+        dec["bias_scaling_w"] = sd[f"{md}.bias_scaling.weight"].reshape(())
+        dec["bias_scaling_b"] = sd[f"{md}.bias_scaling.bias"].reshape(())
+    out["mask_decoder"] = dec
+    return out
+
+
+def convert_hsa(sd: SD, prefix: str, cfg) -> Dict:
+    """HighresSideAdaptorNetwork -> HighresSideAdaptor."""
+    p = prefix
+    out = {"patch_embed": _conv2d(sd, f"{p}patch_embed.proj")}
+
+    def conv_ffn(key):
+        return {
+            "conv1": _conv2d(sd, f"{key}.conv1"),
+            "ln1": _ln(sd, f"{key}.ln1"),
+            "conv2": _conv2d(sd, f"{key}.conv2"),
+            "ln2": _ln(sd, f"{key}.ln2"),
+        }
+
+    for i in range(len(cfg.fusion_map)):
+        k = f"{p}hsa_net_body.{i}"
+        blk = {
+            "ln_3": _ln(sd, f"{k}.ln_3"),
+            "ff": conv_ffn(f"{k}.ff"),
+            "ln_4": _ln(sd, f"{k}.ln_4"),
+            "neck_add": {"kernel": sd[f"{k}.neck_add.weight"].T},
+        }
+        if i == 0:
+            blk["pre_norm"] = _ln(sd, f"{k}.pre_norm")
+        out[f"hsa_block_{i}"] = blk
+
+    def ff_head(key):
+        return {
+            "ln": _ln(sd, f"{key}.net.0"),
+            "fc1": _lin(sd, f"{key}.net.1"),
+            "fc2": _lin(sd, f"{key}.net.3"),
+        }
+
+    r = f"{p}rear_block"
+    out["rear_block"] = {
+        "ln_3": _ln(sd, f"{r}.ln_3"),
+        "ff": conv_ffn(f"{r}.ff"),
+        "ln_4": _ln(sd, f"{r}.ln_4"),
+        "head_attn": ff_head(f"{r}.head_attn"),
+        "head_supp": ff_head(f"{r}.head_supp"),
+    }
+    return out
+
+
+def convert_alignnet(sd: SD, prefix: str, cfg) -> Tuple[Dict, Dict]:
+    """AlignNetOcc3D 3D stack + heads -> (params, batch_stats).
+
+    The lift fusion layer (fusion_layers.layer_0) converts separately into
+    the model's lift_fusion module.
+    """
+    p = prefix
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv_bn(src, relu_unused=True):
+        pr, st = _bn(sd, f"{src}.bn")
+        return {"conv": _conv3d(sd, f"{src}.conv"), "bn": pr}, {"bn": st}
+
+    for i in range(cfg.layer_depth):
+        blk_p, blk_s = {}, {}
+        for j in (1, 2):
+            cp, cs = conv_bn(f"{p}layers_3d_body.{i}.conv{j}")
+            blk_p[f"conv{j}"] = cp
+            blk_s[f"conv{j}"] = cs
+        params[f"res3d_{i}"] = blk_p
+        stats[f"res3d_{i}"] = blk_s
+
+    op, osd = conv_bn(f"{p}occupancy_pred.occ_conv1")
+    params["occupancy_pred"] = {"occ_conv1": op,
+                                "occ_conv2": _conv3d(sd, f"{p}occupancy_pred.occ_conv2.conv")}
+    stats["occupancy_pred"] = {"occ_conv1": osd}
+    fp: Dict[str, Any] = {}
+    fs: Dict[str, Any] = {}
+    for j in (1, 2):
+        cp, cs = conv_bn(f"{p}feat_pred.occ_conv{j}")
+        fp[f"occ_conv{j}"] = cp
+        fs[f"occ_conv{j}"] = cs
+    fp["occ_conv3"] = _conv3d(sd, f"{p}feat_pred.occ_conv3.conv")
+    params["feat_pred"] = fp
+    stats["feat_pred"] = fs
+    return params, stats
+
+
+def convert_lift_fusion(sd: SD, prefix: str) -> Dict:
+    """CatFusionLift (layers.py:154-199) -> LiftFusion."""
+    p = f"{prefix}fusion_layers.layer_0"
+
+    def proj(key):
+        return {
+            "kernel": sd[f"{key}.1.weight"][:, :, 0, 0].T,
+            "bias": sd[f"{key}.1.bias"],
+        }
+
+    def ln(key):
+        return {"scale": sd[f"{key}.0.weight"], "bias": sd[f"{key}.0.bias"]}
+
+    return {"fusion_layer_0": {
+        "ln1": ln(f"{p}.input_proj_1"), "proj1": proj(f"{p}.input_proj_1"),
+        "ln2": ln(f"{p}.input_proj_2"), "proj2": proj(f"{p}.input_proj_2"),
+    }}
+
+
+def convert_dav2(sd: SD, cfg: DepthConfig) -> Dict:
+    """DepthAnythingV2Adaptor -> DepthAnythingV2 (trunk + DPT head)."""
+    vit = cfg.vit
+    trunk: Dict[str, Any] = {
+        "patch_embed": _conv2d(sd, "pretrained.patch_embed.proj"),
+        "cls_token": sd["pretrained.cls_token"],
+        "pos_embed": sd["pretrained.pos_embed"][0],
+        "norm": _ln(sd, "pretrained.norm"),
+    }
+    bounds = [0] + [t + 1 for t in sorted(cfg.intermediate_layer_idx)]
+    for si in range(len(bounds) - 1):
+        a, b = bounds[si], bounds[si + 1]
+        blocks = [_dino_block(sd, f"pretrained.blocks.{i}") for i in range(a, b)]
+        trunk[f"segment_{a}_{b}"] = {"blocks": {"block": _stack(blocks)}}
+
+    head: Dict[str, Any] = {}
+    for i in range(4):
+        head[f"projects_{i}"] = _conv2d(sd, f"depth_head.projects.{i}")
+    head["resize_0"] = _convT2d(sd, "depth_head.resize_layers.0")
+    head["resize_1"] = _convT2d(sd, "depth_head.resize_layers.1")
+    head["resize_3"] = _conv2d(sd, "depth_head.resize_layers.3")
+    for i in range(4):
+        head[f"layer{i + 1}_rn"] = _conv2d(sd, f"depth_head.scratch.layer{i + 1}_rn",
+                                           bias=False)
+    for i in (1, 2, 3, 4):
+        rk = f"depth_head.scratch.refinenet{i}"
+        head[f"refinenet{i}"] = {
+            "rcu1": {"conv1": _conv2d(sd, f"{rk}.resConfUnit1.conv1"),
+                     "conv2": _conv2d(sd, f"{rk}.resConfUnit1.conv2")},
+            "rcu2": {"conv1": _conv2d(sd, f"{rk}.resConfUnit2.conv1"),
+                     "conv2": _conv2d(sd, f"{rk}.resConfUnit2.conv2")},
+            "out_conv": _conv2d(sd, f"{rk}.out_conv"),
+        }
+    head["output_conv1"] = _conv2d(sd, "depth_head.scratch.output_conv1")
+    head["output_conv2_0"] = _conv2d(sd, "depth_head.scratch.output_conv2.0")
+    head["output_conv2_2"] = _conv2d(sd, "depth_head.scratch.output_conv2.2")
+    return {"pretrained": trunk, "depth_head": head}
+
+
+def convert_san_semantic(sd: SD, cfg: VeonConfig) -> Tuple[Dict, Dict, Dict]:
+    """A full SAN/VEON semantic checkpoint (SANInVeonTemporal layout) ->
+    (model params subtrees, batch_stats, text-side extras).
+
+    Handles both a raw SAN release (prefixes like clip_visual_extractor.)
+    and a trained VEON checkpoint with the `semantic_model.model.` prefix
+    already stripped via revise_keys.
+    """
+    save_layers = tuple(sorted(
+        {cl for _, cl in cfg.san.fusion_map}
+        | {ca for _, ca, _ad in cfg.hsa.fusion_map}
+        | {ad for _, _ca, ad in cfg.hsa.fusion_map}
+        | {cfg.san.feature_last_layer_idx}
+    ))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["clip_visual"] = convert_clip_visual(
+        sd, "clip_visual_extractor.", cfg.san, save_layers
+    )
+    params["rec_head"] = convert_rec_head(sd, "clip_rec_head.", cfg.san)
+    params["side_adapter"] = convert_side_adapter(sd, "side_adapter_network.", cfg.san)
+    params["hsa"] = convert_hsa(sd, "highres_side_adaptor_network.", cfg.hsa)
+    align_p, align_s = convert_alignnet(sd, "occ_decoder.", cfg.propagation)
+    params["alignnet"] = align_p
+    stats["alignnet"] = align_s
+    params["lift_fusion"] = convert_lift_fusion(sd, "occ_decoder.")
+
+    extras: Dict[str, Any] = {}
+    if "ov_classifier.logit_scale" in sd:
+        extras["logit_scale"] = sd["ov_classifier.logit_scale"]
+    if "ov_classifier.bg_embed" in sd:
+        extras["bg_embed"] = sd["ov_classifier.bg_embed"]
+    if "ov_classifier.token_embedding.weight" in sd:
+        extras["text_tower"] = convert_text_tower(sd, "ov_classifier.", cfg.san)
+    return params, stats, extras
+
+
+def _rec_head_offsets(sd: SD, prefix: str) -> SD:
+    """Rec-head checkpoints index resblocks from the ORIGINAL layer number
+    (clip_rec_head.resblocks holds layers K..total under indices 0..n-1 in
+    the d2 dump); normalize if needed. Kept as a hook for dialect quirks."""
+    return sd

@@ -1,0 +1,53 @@
+"""Orbax checkpoint save/load + resume (the mmcv CheckpointHook /
+runner.resume() equivalent, `apis/train.py:310-315`, default_runtime.py:1).
+
+Layout: <dir>/step_<n>/ holds the full TrainState pytree (params, batch
+stats, optimizer, EMA shadow, counters) — EMA travels with the checkpoint
+instead of a separate epoch_N_ema.pth.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(directory: str, step: int, state: Any) -> str:
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    _checkpointer().save(path, jax.device_get(state), force=True)
+    return path
+
+
+def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    restore_args = None
+    if target is not None:
+        restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+    return _checkpointer().restore(os.path.abspath(path), item=target,
+                                   restore_args=restore_args)
+
+
+def find_latest(directory: str) -> Optional[str]:
+    """mmcv find_latest_checkpoint equivalent for --auto-resume."""
+    if not os.path.isdir(directory):
+        return None
+    steps = []
+    for name in os.listdir(directory):
+        if name.startswith("step_"):
+            try:
+                steps.append(int(name.split("_")[1]))
+            except ValueError:
+                pass
+    if not steps:
+        return None
+    return os.path.join(directory, f"step_{max(steps)}")

@@ -103,8 +103,11 @@ class SANConfig:
     side_depth: int = 8
     side_heads: int = 6
     side_patch_size: int = 16
+    side_pretrain_grid: Tuple[int, int] = (40, 40)  # IMAGE_SIZE 640 / patch 16
     num_queries: int = 100
-    fusion_map: Tuple[Tuple[int, int], ...] = ((0, 0), (3, 1), (6, 2), (9, 3))
+    # (side_block_idx, clip_layer_idx): cfg FUSION_MAP "0->0","3->1","6->2","9->3"
+    # parses as {side 0: clip 0, side 1: clip 3, side 2: clip 6, side 3: clip 9}
+    fusion_map: Tuple[Tuple[int, int], ...] = ((0, 0), (1, 3), (2, 6), (3, 9))
     deep_supervision_idxs: Tuple[int, ...] = (8,)
 
     # mask decoder / attn bias

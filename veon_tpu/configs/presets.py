@@ -36,7 +36,7 @@ def san_vit_l_14_336() -> SANConfig:
         clip_embed_dim=768,
         clip_pretrain_grid=(24, 24),
         feature_last_layer_idx=18,
-        fusion_map=((0, 0), (6, 1), (12, 2), (18, 3)),
+        fusion_map=((0, 0), (1, 6), (2, 12), (3, 18)),
         attn_bias_heads=16,
         text_width=768,
         text_heads=12,
@@ -104,6 +104,7 @@ def veon_tiny_test(num_temporal: int = 1) -> VeonConfig:
             side_heads=2,
             num_queries=8,
             fusion_map=((0, 0), (1, 3)),
+            side_pretrain_grid=(4, 4),
             deep_supervision_idxs=(2,),
             attn_bias_heads=2,
             attn_bias_embed_channels=8,

@@ -1,0 +1,259 @@
+"""The VEON model graph: six camera images (+ previous frames) -> voxel
+semantics + CLIP-space voxel embeddings.
+
+One jit-compiled functional graph replacing the reference's
+VeonTemporal / SANInVeonEntryTemporal / SANInVeonTemporal / AlignNetOcc3D
+orchestration (`models/detectors/veon_temporal.py`,
+`semantic_net/san_in_veon_temporal.py:113-218`,
+`side_adapter/align_net_occ3d.py:238-360`).
+
+Data layout: frame-major batches (B, F, N, ...) with F = num_temporal
+(frame 0 = current, frames 1.. = previous), channel-last images/voxels.
+(The reference stores images cam-major and metas frame-major; we use one
+consistent convention and convert at the data layer.)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..configs.base import VeonConfig
+from ..geometry.frustum import sensor2keyego_chain
+from ..lift.lss import LSSLift, min_pool_depth, two_hot_depth
+from ..nn.alignnet import AlignNet3D, LiftFusion
+from ..nn.dpt import DepthAnythingV2
+from ..nn.hsa import HighresSideAdaptor
+from ..nn.san import SideAdapterNetwork
+from ..nn.vit import CLIPRecHead, CLIPVisualExtractor
+from ..ops.grid_sample import grid_sample_3d
+from ..ops.resize import resize_bilinear, resize_trilinear
+
+Dtype = Any
+VeonOutputs = Dict[str, jnp.ndarray]
+
+
+def _flatten_cams(x):
+    """(B, F, N, ...) -> (B*F*N, ...)."""
+    return x.reshape((-1,) + x.shape[3:])
+
+
+def _unflatten_cams(x, B, F, N):
+    return x.reshape((B, F, N) + x.shape[1:])
+
+
+class VeonModel(nn.Module):
+    """End-to-end VEON graph (inference + training forward)."""
+
+    cfg: VeonConfig
+    bn_axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.depth_model = DepthAnythingV2(cfg=c.depth, dtype=self.dtype, name="depth")
+        # layers actually consumed downstream: side-adapter fusion sources,
+        # HSA cross/add sources, and the rec-head entry layer
+        save_layers = tuple(sorted(
+            {cl for _, cl in c.san.fusion_map}
+            | {ca for _, ca, _ad in c.hsa.fusion_map}
+            | {ad for _, _ca, ad in c.hsa.fusion_map}
+            | {c.san.feature_last_layer_idx}
+        ))
+        self.clip_ext = CLIPVisualExtractor(
+            width=c.san.clip_width, heads=c.san.clip_heads,
+            num_layers=c.san.feature_last_layer_idx, patch_size=c.san.clip_patch_size,
+            pretrain_grid=c.san.clip_pretrain_grid, save_layers=save_layers,
+            dtype=self.dtype, name="clip_visual",
+        )
+        self.side_adapter = SideAdapterNetwork(cfg=c.san, dtype=self.dtype, name="side_adapter")
+        self.rec_head = CLIPRecHead(
+            width=c.san.clip_width, heads=c.san.clip_heads,
+            first_layer_idx=c.san.feature_last_layer_idx, total_layers=c.san.clip_layers,
+            out_dim=c.san.clip_embed_dim, sos_token_num=c.san.num_queries,
+            downsample_method=c.san.rec_downsample_method, dtype=self.dtype, name="rec_head",
+        )
+        self.hsa = HighresSideAdaptor(cfg=c.hsa, dtype=self.dtype, name="hsa")
+        self.lift_fusion = LiftFusion(cfg=c.propagation, fusion_type=c.propagation.fusion_type,
+                                      dtype=self.dtype, name="lift_fusion")
+        self.alignnet = AlignNet3D(cfg=c.propagation, clip_outdim=c.propagation.clip_proj_dim,
+                                   bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                                   name="alignnet")
+        self.lift = LSSLift(
+            grid=c.grid, input_size=c.data.input_size, downsample=c.lss_downsample,
+            out_channels=c.propagation.dim, ds_feat=c.lss_feat_ds,
+        )
+
+    # ------------------------------------------------------------------
+    # depth branch
+    # ------------------------------------------------------------------
+    def estimate_depth(self, depth_imgs: jnp.ndarray) -> jnp.ndarray:
+        """(B, F, N, Hd, Wd, 3) DA-V2-normalized -> (B, F, N, H/2, W/2) metric.
+
+        `veon_temporal.py:244-253`: bilinear align_corners=True resize to
+        half the main input resolution.
+        """
+        B, F, N = depth_imgs.shape[:3]
+        d = self.depth_model(_flatten_cams(depth_imgs))
+        h2, w2 = self.cfg.data.input_size[0] // 2, self.cfg.data.input_size[1] // 2
+        if d.shape[-2:] != (h2, w2):
+            d = resize_bilinear(d[..., None], (h2, w2), align_corners=True)[..., 0]
+        return _unflatten_cams(d, B, F, N)
+
+    # ------------------------------------------------------------------
+    # full semantic forward (san_in_veon_temporal.py:113-218)
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        imgs: jnp.ndarray,
+        depth: jnp.ndarray,
+        metas: Dict[str, jnp.ndarray],
+        ov_weight: jnp.ndarray,
+        train: bool = False,
+    ) -> VeonOutputs:
+        """Args:
+          imgs: (B, F, N, H, W, 3) clipsan-normalized images.
+          depth: (B, F, N, H/2, W/2) metric depth.
+          metas: dict with sensor2egos/ego2globals (B,F,N,4,4), intrins/
+            post_rots (B,F,N,3,3), post_trans (B,F,N,3), bda (B,3,3), and for
+            F>1: lidarego2global (B,4,4), prev_lidarego2global (B,F-1,4,4).
+          ov_weight: (P+1, C_clip_embed) scaled text classifier (incl. bg).
+
+        Returns dict: sem_seg_ds/sem_embed_ds (B,N,h,w,C), clip_feat,
+          bin_occ (B,Z,Y,X,2), feat_occ (B,Z,Y,X,clip_width),
+          sem_occ_raw (B,Z,Y,X,P+1).
+        """
+        c = self.cfg
+        B, F, N = imgs.shape[:3]
+        flat = _flatten_cams(imgs)
+        h2 = (flat.shape[1] // 2, flat.shape[2] // 2)
+        clip_input = resize_bilinear(flat, h2, align_corners=False)
+
+        # 2D stage over all B*F*N images (frozen in training; see train/).
+        clip_feats = self.clip_ext(clip_input)
+        mask_preds, attn_bias, _san_feats = self.side_adapter(flat, clip_feats)
+        mask_embs = self.rec_head(clip_feats, attn_bias, normalize=True)
+
+        def frame(x, f):
+            return _unflatten_cams(x, B, F, N)[:, f]
+
+        def frame_flat(x, f):
+            return frame(x, f).reshape((B * N,) + x.shape[1:])
+
+        def frame_feats(f):
+            return {k: frame_flat(v, f) for k, v in clip_feats.items()}
+
+        sensor2keyegos = sensor2keyego_chain(
+            metas["sensor2egos"].reshape(B, F * N, 4, 4),
+            metas["ego2globals"].reshape(B, F * N, 4, 4),
+            F, N,
+        )  # (B, F, N, 4, 4)
+
+        def lift_frame(f, feats_f):
+            """fuse(0) + LSS lift for frame f (`align_net_occ3d.py:268-318`)."""
+            attns_f, supp_f = self.hsa(frame_flat(flat, f), feats_f)
+            feats_f = self.rec_head.update_remaining(feats_f, attns_f)
+            clip_last = feats_f[str(c.san.clip_layers)]
+            lift_hw = mask_preds.shape[-2:]  # SAN grid == LSS feature grid
+            fused = self.lift_fusion(supp_f, clip_last, lift_hw)  # (B*N, h, w, C)
+            fused = fused.reshape((B, N) + fused.shape[1:])
+            d = depth[:, f]  # (B, N, h2, w2)
+            d_ds = min_pool_depth(d, 8)
+            d_two_hot = two_hot_depth(d_ds, c.grid)
+            vox = self.lift(
+                fused, d_two_hot,
+                sensor2keyegos[:, f], metas["intrins"][:, f],
+                metas["post_rots"][:, f], metas["post_trans"][:, f], metas["bda"],
+            )
+            return vox, feats_f
+
+        # previous frames -> aligned early occ features (no gradient)
+        occ_feat_prevs = []
+        for f in range(1, F):
+            vox_prev, _ = lift_frame(f, frame_feats(f))
+            vox_prev = jax.lax.stop_gradient(vox_prev)
+            prev_e2g = metas["prev_lidarego2global"][:, f - 1]
+            vox_prev = self.align_to_prev(vox_prev, metas["lidarego2global"], prev_e2g)
+            occ_feat_prevs.append(vox_prev)
+
+        # current frame
+        feats_0 = frame_feats(0)
+        vox, feats_0 = lift_frame(0, feats_0)
+        occ = self.alignnet(vox, occ_feat_prevs if occ_feat_prevs else None, train=train)
+
+        # upsample to the full occ grid (nz, ny, nx), channel-last
+        nx, ny, nz = c.grid.size
+        feat_occ = resize_trilinear(occ["feat_occ"], (nz, ny, nx), align_corners=False)
+        bin_occ = resize_trilinear(occ["bin_occ"], (nz, ny, nx), align_corners=False)
+        sem_occ_raw = jnp.einsum("qc,bzyxc->bzyxq", ov_weight.astype(feat_occ.dtype), feat_occ)
+
+        # 2D outputs for the distillation loss (current frame only)
+        mask_logits = jnp.einsum("bqc,nc->bqn", mask_embs, ov_weight.astype(mask_embs.dtype))
+        sem_seg_ds, sem_embed_ds = self.semantic_inference_2d(
+            frame_flat(mask_logits, 0), frame_flat(mask_embs, 0), frame_flat(mask_preds, 0)
+        )
+
+        return {
+            "sem_seg_ds": sem_seg_ds.reshape((B, N) + sem_seg_ds.shape[1:]),
+            "sem_embed_ds": sem_embed_ds.reshape((B, N) + sem_embed_ds.shape[1:]),
+            "clip_feat": feats_0["clip_feat_proj"].reshape((B, N) + feats_0["clip_feat_proj"].shape[1:]),
+            "bin_occ": bin_occ,
+            "feat_occ": feat_occ,
+            "sem_occ_raw": sem_occ_raw,
+        }
+
+    @staticmethod
+    def semantic_inference_2d(mask_logits, mask_embs, mask_preds):
+        """`san_in_veon_temporal.py:248-255`: softmax classes (drop bg) x
+        sigmoid masks -> per-pixel class probs and CLIP embeddings.
+
+        mask_logits (B,Q,P+1), mask_embs (B,Q,C), mask_preds (B,Q,h,w) ->
+        sem_seg (B,h,w,P), sem_embed (B,h,w,C).
+        """
+        cls = jax.nn.softmax(mask_logits, axis=-1)[..., :-1]
+        m = jax.nn.sigmoid(mask_preds)
+        sem_seg = jnp.einsum("bqp,bqhw->bhwp", cls, m)
+        sem_embed = jnp.einsum("bqc,bqhw->bhwc", mask_embs, m)
+        return sem_seg, sem_embed
+
+    def align_to_prev(self, occ_feat, lidarego2global, prev_lidarego2global):
+        """Ego-motion alignment of a previous frame's occ feature
+        (`san_in_veon_temporal.py:325-365` align_after_lss).
+
+        occ_feat: (B, Z, Y, X, C) in the PREV frame's ego coordinates;
+        resamples it at the CURRENT frame's voxel centers.
+        """
+        c = self.cfg
+        g = c.grid.scaled(c.lss_feat_ds)
+        B, Z, Y, X, C = occ_feat.shape
+        xs = jnp.arange(X) * g.x[2] + (g.x[0] + g.x[2] / 2)
+        ys = jnp.arange(Y) * g.y[2] + (g.y[0] + g.y[2] / 2)
+        zs = jnp.arange(Z) * g.z[2] + (g.z[0] + g.z[2] / 2)
+        zz, yy, xx = jnp.meshgrid(zs, ys, xs, indexing="ij")
+        pts = jnp.stack([xx, yy, zz], axis=-1)  # (Z, Y, X, 3) xyz meters
+
+        cur2prev = jnp.linalg.inv(prev_lidarego2global) @ lidarego2global  # (B,4,4)
+        hi = jax.lax.Precision.HIGHEST
+        p = jnp.einsum("bij,zyxj->bzyxi", cur2prev[:, :3, :3], pts, precision=hi)
+        p = p + cur2prev[:, None, None, None, :3, 3]
+
+        first = jnp.asarray([xs[0], ys[0], zs[0]])
+        last = jnp.asarray([xs[-1], ys[-1], zs[-1]])
+        grid = (p - first) / (last - first) * 2.0 - 1.0  # normalized (x, y, z)
+        return grid_sample_3d(occ_feat, grid, align_corners=True, padding_mode="zeros")
+
+
+def fusion_rule(sem_occ_merged: jnp.ndarray, bin_occ: jnp.ndarray, free_idx: int = 17):
+    """Test-time class fusion (`veon_temporal.py:220-229`).
+
+    sem_occ_merged: (B, Z, Y, X, 18) merged class logits;
+    bin_occ: (B, Z, Y, X, 2). Returns (B, X, Y, Z) int32 class grid.
+    """
+    cls = jnp.argmax(sem_occ_merged, axis=-1)
+    occupied = jax.nn.softmax(bin_occ, axis=-1)[..., 0] > 0.5
+    pred = jnp.where(occupied, cls, free_idx)
+    return pred.transpose(0, 3, 2, 1).astype(jnp.int32)

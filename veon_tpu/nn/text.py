@@ -1,0 +1,287 @@
+"""Open-vocabulary text machinery: nuScenes vocabulary expansion, CLIP prompt
+templates, the CLIP BPE tokenizer, template-ensemble classifier weights, and
+the synonym-merge (class-reflection) matrices.
+
+Covers the reference's `semantic_net/vocabulary/nuscenes_vol.py`,
+`clip_utils/utils.py` (vild templates), `clip_utils/classifier.py`
+(PredefinedOvClassifier/LearnableBgOvClassifier) and the entry's
+`prepare_vocabulary`/`_merge_classes_prob`
+(`san_in_veon_entry_temporal.py:78-117, 273-297`).
+
+The host-side while-loop synonym merge becomes a precomputed (groups x
+prompts) membership matrix applied as a masked max — static and jit-friendly
+(SURVEY.md hard-part 6).
+"""
+
+from __future__ import annotations
+
+import gzip
+import html
+import os
+import re
+from functools import lru_cache
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# --------------------------------------------------------------------------
+# nuScenes vocabulary (17 categories expanded to 66 prompts with synonyms).
+# Word lists follow the nuScenes taxonomy as used by the reference
+# (vocabulary/nuscenes_vol.py NUSCENES_CLASSES_BRIEF).
+# --------------------------------------------------------------------------
+
+NUSCENES_BRIEF: List[Tuple[str, List[str]]] = [
+    ("others", [
+        "debris", "animal", "personal mobility", "skateboard", "segway",
+        "scooter", "stroller", "wheelchair", "trash bag", "road sign",
+        "trash can", "wheel barrow", "garbage-bin with wheels", "bicycle rack",
+        "ambulance vehicle", "police vehicle",
+    ]),
+    ("barrier", ["traffic barrier"]),
+    ("bicycle", ["bicycle"]),
+    ("bus", ["bus"]),
+    ("car", ["car", "sedan", "hatch-back", "wagon", "van", "mini-van", "SUV", "jeep"]),
+    ("construction_vehicle", ["construction vehicle"]),
+    ("motorcycle", ["motorcycle"]),
+    ("pedestrian", ["pedestrian", "construction worker", "police officer"]),
+    ("traffic_cone", ["traffic cone"]),
+    ("trailer", ["trailer"]),
+    ("truck", ["truck"]),
+    ("driveable surface", ["road"]),
+    ("other flat", ["traffic delimiter", "traffic island", "rail track", "lake", "river"]),
+    ("sidewalk", ["sidewalk", "pedestrian walkway", "bike path"]),
+    ("terrain", ["grass", "rolling hill", "soil", "sand", "gravel"]),
+    ("manmade", [
+        "building", "wall", "guard rail", "fence", "drainage", "hydrant",
+        "flag", "banner", "street sign", "electric circuit box",
+        "traffic light", "parking meter", "stairs",
+    ]),
+    ("vegetation", ["vegetation", "plants", "bushes", "tree"]),
+]
+
+# The "vild" prompt-template ensemble (clip_utils/utils.py:90-107).
+VILD_TEMPLATES = [
+    "a photo of a {}.",
+    "This is a photo of a {}",
+    "There is a {} in the scene",
+    "There is the {} in the scene",
+    "a photo of a {} in the scene",
+    "a photo of a small {}.",
+    "a photo of a medium {}.",
+    "a photo of a large {}.",
+    "This is a photo of a small {}.",
+    "This is a photo of a medium {}.",
+    "This is a photo of a large {}.",
+    "There is a small {} in the scene.",
+    "There is a medium {} in the scene.",
+    "There is a large {} in the scene.",
+]
+
+
+def build_vocabulary(name: str = "nuscenes_brief") -> Tuple[List[str], List[int]]:
+    """Expand a named vocabulary to (prompts, class_reflection).
+
+    class_reflection[i] = semantic-class index of prompt i
+    (`san_in_veon_entry_temporal.py:243-262`).
+    """
+    if name not in ("nuscenes_brief", "nuscenes_default"):
+        raise ValueError(f"unknown vocabulary {name!r}")
+    prompts: List[str] = []
+    reflection: List[int] = []
+    for cls_id, (_cat, items) in enumerate(NUSCENES_BRIEF):
+        for it in items:
+            prompts.append(it.lower().strip())
+            reflection.append(cls_id)
+    return prompts, reflection
+
+
+def merge_matrix(class_reflection: Sequence[int], extra_rows: int = 1) -> np.ndarray:
+    """(num_groups + extra, num_prompts + extra) bool membership matrix.
+
+    Row g selects the prompts of semantic class g; the trailing `extra_rows`
+    rows/cols carry the background logit through unchanged. Replaces the
+    while-loop group-max of `_merge_classes_prob` with a masked max.
+    """
+    refl = np.asarray(class_reflection)
+    num_groups = int(refl.max()) + 1
+    n = len(refl) + extra_rows
+    m = np.zeros((num_groups + extra_rows, n), dtype=bool)
+    for i, g in enumerate(refl):
+        m[g, i] = True
+    for e in range(extra_rows):
+        m[num_groups + e, len(refl) + e] = True
+    return m
+
+
+def merge_classes_max(x: jnp.ndarray, membership: np.ndarray, axis: int) -> jnp.ndarray:
+    """Group-max along `axis`: out[..., g, ...] = max over prompts of group g."""
+    x = jnp.moveaxis(x, axis, -1)
+    mask = jnp.asarray(membership)  # (G, P)
+    neg = jnp.finfo(x.dtype).min
+    expanded = jnp.where(mask, x[..., None, :], neg)
+    out = jnp.max(expanded, axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+# --------------------------------------------------------------------------
+# CLIP BPE tokenizer (the standard openai/CLIP simple tokenizer algorithm).
+# The merges table ships with CLIP distributions
+# (bpe_simple_vocab_16e6.txt.gz); pass its path at construction. Without it
+# we fall back to a deterministic hash tokenizer so weightless environments
+# can still exercise the full graph (NOT parity with CLIP text encodings).
+# --------------------------------------------------------------------------
+
+
+@lru_cache()
+def _bytes_to_unicode():
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(2 ** 8):
+        if b not in bs:
+            bs.append(b)
+            cs.append(2 ** 8 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _get_pairs(word):
+    pairs = set()
+    prev = word[0]
+    for ch in word[1:]:
+        pairs.add((prev, ch))
+        prev = ch
+    return pairs
+
+
+def _whitespace_clean(text: str) -> str:
+    text = re.sub(r"\s+", " ", text)
+    return text.strip()
+
+
+def _basic_clean(text: str) -> str:
+    text = html.unescape(html.unescape(text))
+    return text.strip()
+
+
+class ClipTokenizer:
+    """CLIP BPE tokenizer; context length 77, sot=49406, eot=49407."""
+
+    CONTEXT = 77
+    SOT = 49406
+    EOT = 49407
+
+    def __init__(self, bpe_path: Optional[str] = None):
+        self.byte_encoder = _bytes_to_unicode()
+        self.fallback = bpe_path is None or not os.path.exists(bpe_path)
+        self.pat = re.compile(
+            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
+            if False
+            else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+            re.IGNORECASE,
+        )
+        if not self.fallback:
+            with gzip.open(bpe_path, "rt", encoding="utf-8") as f:
+                merges = f.read().split("\n")
+            merges = merges[1 : 49152 - 256 - 2 + 1]
+            merges = [tuple(m.split()) for m in merges]
+            vocab = list(_bytes_to_unicode().values())
+            vocab = vocab + [v + "</w>" for v in vocab]
+            for m in merges:
+                vocab.append("".join(m))
+            vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+            self.encoder = dict(zip(vocab, range(len(vocab))))
+            self.bpe_ranks = dict(zip(merges, range(len(merges))))
+            self.cache = {
+                "<|startoftext|>": "<|startoftext|>",
+                "<|endoftext|>": "<|endoftext|>",
+            }
+
+    def _bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = _get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                    new_word.extend(word[i:j])
+                    i = j
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                if word[i] == first and i < len(word) - 1 and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _get_pairs(word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        if self.fallback:
+            # deterministic hash ids in [1000, 40000): graph-exercise only
+            ids = []
+            for tok in _whitespace_clean(_basic_clean(text)).lower().split(" "):
+                h = 0
+                for ch in tok:
+                    h = (h * 131 + ord(ch)) % 39000
+                ids.append(1000 + h)
+            return ids
+        bpe_tokens: List[int] = []
+        text = _whitespace_clean(_basic_clean(text)).lower()
+        for token in re.findall(self.pat, text):
+            token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            bpe_tokens.extend(self.encoder[t] for t in self._bpe(token).split(" "))
+        return bpe_tokens
+
+    def tokenize(self, texts: Sequence[str]) -> np.ndarray:
+        """(len(texts), 77) int32 with SOT/EOT framing + truncation."""
+        out = np.zeros((len(texts), self.CONTEXT), dtype=np.int32)
+        for i, t in enumerate(texts):
+            toks = [self.SOT] + self.encode(t) + [self.EOT]
+            if len(toks) > self.CONTEXT:
+                toks = toks[: self.CONTEXT]
+                toks[-1] = self.EOT
+            out[i, : len(toks)] = toks
+        return out
+
+
+def classifier_weights_from_embeddings(
+    per_template_embeds: jnp.ndarray,
+) -> jnp.ndarray:
+    """Template-ensemble averaging (`classifier.py:34-45`):
+    per_template_embeds (T, N, C) normalized -> mean over T, renormalize."""
+    mean = per_template_embeds.mean(axis=0)
+    return mean / jnp.linalg.norm(mean, axis=-1, keepdims=True)
+
+
+def ov_classifier_weight(
+    cat_embeddings: jnp.ndarray, bg_embed: jnp.ndarray, logit_scale: jnp.ndarray
+) -> jnp.ndarray:
+    """LearnableBgOvClassifier weight (`classifier.py:93-112` + temporal entry
+    `san_in_veon_temporal.py:261-266`): append bg row, L2-normalize rows,
+    multiply by exp(logit_scale)."""
+    w = jnp.concatenate([cat_embeddings, bg_embed], axis=0)
+    w = w / jnp.linalg.norm(w, axis=-1, keepdims=True)
+    return jnp.exp(logit_scale) * w

@@ -114,6 +114,35 @@ def resize_bicubic(
     return _apply_separable(x, _cubic_weights(H, Ho, align_corners), _cubic_weights(W, Wo, align_corners))
 
 
+@functools.lru_cache(maxsize=None)
+def _cubic_weights_scaled(in_size: int, out_size: int, scale: float) -> np.ndarray:
+    """Bicubic weights where the coordinate map uses an explicit scale factor
+    (torch `interpolate(scale_factor=s, recompute_scale_factor=False)`:
+    src = (dst + 0.5)/s - 0.5). Needed for DINOv2's pos-embed interpolation
+    (`depth_anything/dinov2.py:181-213`, offset 0.1 workaround).
+    """
+    i = np.arange(out_size, dtype=np.float64)
+    src = (i + 0.5) / scale - 0.5
+    lo = np.floor(src).astype(np.int64)
+    frac = src - lo
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    for t in range(-1, 3):
+        tap = np.clip(lo + t, 0, in_size - 1)
+        w[np.arange(out_size), tap] += _cubic_kernel(frac - t)
+    return w.astype(np.float32)
+
+
+def resize_bicubic_scaled(
+    x: jnp.ndarray, out_size: Tuple[int, int], scales: Tuple[float, float]
+) -> jnp.ndarray:
+    """Bicubic resize with explicit per-axis scale factors (channel-last)."""
+    H, W = x.shape[-3], x.shape[-2]
+    Ho, Wo = out_size
+    return _apply_separable(
+        x, _cubic_weights_scaled(H, Ho, scales[0]), _cubic_weights_scaled(W, Wo, scales[1])
+    )
+
+
 def resize_nearest(x: jnp.ndarray, out_size: Tuple[int, int]) -> jnp.ndarray:
     """Nearest resize (torch legacy 'nearest'), channel-last."""
     H, W = x.shape[-3], x.shape[-2]

@@ -1,0 +1,308 @@
+"""Training losses: stage-2 occupancy (BCE bin + 2D->3D distillation) and
+stage-1 depth (SILog + bin-CE).
+
+Re-derives `semantic_net/loss/occ_loss.py` (OccLossFB) and
+`occ_loss_utils/occ3d_nuscenes.py:200-523` (BCE_BinOcc_Loss, Proj2Dto3DLoss)
+plus `view_transformer_raw.py:498-535` (get_depth_loss_own) as fully
+vectorized, static-shape jnp code: the reference's per-camera python loop and
+boolean-mask filtering become masked reductions; the synonym-group while
+loops become precomputed membership-matrix ops (SURVEY.md hard-part 6).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.base import GridConfig, LossConfig
+from ..lift.lss import one_hot_depth, two_hot_depth
+from ..nn.text import merge_classes_max
+from ..ops.grid_sample import grid_sample_2d
+
+
+# --------------------------------------------------------------------------
+# binary-occupancy CE (occ3d_nuscenes.py:200-212)
+# --------------------------------------------------------------------------
+
+
+def bce_bin_occ_loss(
+    bin_occ: jnp.ndarray,
+    voxel_semantics: jnp.ndarray,
+    class_weights: Sequence[float] = (1.0, 0.5),
+    free_idx: int = 17,
+    ignore_idx: int = 255,
+) -> jnp.ndarray:
+    """bin_occ: (B, X, Y, Z, 2) logits; voxel_semantics: (B, X, Y, Z) int
+    (255 = ignore). torch CrossEntropyLoss semantics with class weights:
+    sum(w_t * nll_t) / sum(w_t) over non-ignored voxels.
+    """
+    target = jnp.where(voxel_semantics == free_idx, 1, 0)
+    valid = voxel_semantics != ignore_idx
+    logp = jax.nn.log_softmax(bin_occ.astype(jnp.float32), axis=-1)
+    w = jnp.asarray(class_weights, dtype=jnp.float32)
+    nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    wt = w[target] * valid
+    return jnp.sum(nll * wt) / jnp.maximum(jnp.sum(wt), 1e-6)
+
+
+# --------------------------------------------------------------------------
+# 2D->3D distillation (Proj2Dto3DLoss, occ3d_nuscenes.py:228-523)
+# --------------------------------------------------------------------------
+
+
+def _cosine(a, b, eps=1e-6):
+    num = jnp.sum(a * b, axis=-1)
+    den = jnp.maximum(jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1), eps)
+    return num / den
+
+
+def voxel_centers(grid: GridConfig) -> np.ndarray:
+    """(X, Y, Z, 3) voxel-center xyz in ego/lidarego meters (host constant)."""
+    nx, ny, nz = grid.size
+    xs = np.arange(nx) * grid.x[2] + grid.x[0] + grid.x[2] / 2
+    ys = np.arange(ny) * grid.y[2] + grid.y[0] + grid.y[2] / 2
+    zs = np.arange(nz) * grid.z[2] + grid.z[0] + grid.z[2] / 2
+    out = np.empty((nx, ny, nz, 3), dtype=np.float32)
+    out[..., 0] = xs[:, None, None]
+    out[..., 1] = ys[None, :, None]
+    out[..., 2] = zs[None, None, :]
+    return out
+
+
+def proj_2d_to_3d_loss(
+    pred_feat_occ: jnp.ndarray,
+    sem_seg_2d: jnp.ndarray,
+    voxel_semantics: jnp.ndarray,
+    cam_metas: Dict[str, jnp.ndarray],
+    ov_weight: jnp.ndarray,
+    membership: np.ndarray,
+    priority: Sequence[int],
+    grid: GridConfig,
+    image_hw: Tuple[int, int],
+    epoch: jnp.ndarray,
+    cfg: LossConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The distillation loss (`occ3d_nuscenes.py:356-523`), vectorized.
+
+    Args:
+      pred_feat_occ: (B, X, Y, Z, C) predicted CLIP-space voxel embeddings.
+      sem_seg_2d: (B, N, h, w, P) per-pixel prompt probabilities (sem_seg_ds),
+        treated as logits for the per-group softmax/argmax as in the reference.
+      voxel_semantics: (B, X, Y, Z) GT classes (255 ignore, 17 free).
+      cam_metas: intrins (B,N,3,3), post_rots (B,N,3,3), post_trans (B,N,3),
+        cam2camego/camego2global (B,N,4,4), lidarego2global (B,4,4).
+      ov_weight: (P+1, C) scaled text classifier.
+      membership: (G+1, P+1) bool prompt-group matrix (nn.text.merge_matrix).
+      epoch: scalar int (enables priority ignorance at >= cfg.stage2_start).
+
+    Returns (loss_det, loss_soft) scalars.
+    """
+    B, X, Y, Z, C = pred_feat_occ.shape
+    N = sem_seg_2d.shape[1]
+    P = sem_seg_2d.shape[-1]  # prompts (no bg)
+    V = X * Y * Z
+    class_num = cfg.out_channel - 1  # 17
+    prio = jnp.asarray(priority, dtype=jnp.float32)
+    member = jnp.asarray(membership[:class_num, :P])  # (17, P) prompt groups
+    # prompt -> group id vector
+    group_of_prompt = jnp.asarray(np.argmax(membership[:class_num, :P], axis=0))
+
+    centers = jnp.asarray(voxel_centers(grid)).reshape(V, 3)
+    feat = pred_feat_occ.reshape(B, V, C)
+    gt = voxel_semantics.reshape(B, V)
+    sem_valid = (gt < class_num) & (gt >= 0)
+    gt_c = jnp.clip(gt, 0, class_num - 1)
+
+    hi = jax.lax.Precision.HIGHEST
+    # project voxel centers into every camera: lidarego -> cam -> image
+    cam2global = jnp.einsum(
+        "bnij,bnjk->bnik", cam_metas["camego2global"], cam_metas["cam2camego"], precision=hi
+    )
+    lidarego2cam = jnp.einsum(
+        "bnij,bjk->bnik", jnp.linalg.inv(cam2global), cam_metas["lidarego2global"], precision=hi
+    )
+    cam2img = jnp.zeros((B, N, 4, 4), jnp.float32)
+    cam2img = cam2img.at[:, :, 3, 3].set(1.0)
+    cam2img = cam2img.at[:, :, :3, :3].set(cam_metas["intrins"])
+    lidarego2img = jnp.einsum("bnij,bnjk->bnik", cam2img, lidarego2cam, precision=hi)
+
+    pts = jnp.einsum("bnij,vj->bnvi", lidarego2img[:, :, :3, :3], centers, precision=hi)
+    pts = pts + lidarego2img[:, :, None, :3, 3]
+    depth = pts[..., 2]
+    uv = pts[..., :2] / jnp.where(jnp.abs(depth[..., None]) > 1e-6, depth[..., None], 1e-6)
+    uvd = jnp.concatenate([uv, depth[..., None]], axis=-1)
+    uvd = jnp.einsum("bnij,bnvj->bnvi", cam_metas["post_rots"], uvd, precision=hi)
+    uvd = uvd + cam_metas["post_trans"][:, :, None, :]
+
+    Himg, Wimg = image_hw
+    u, v, d = uvd[..., 0], uvd[..., 1], uvd[..., 2]
+    in_img = (u >= 0) & (u <= Wimg - 1) & (v >= 0) & (v <= Himg - 1)
+    in_depth = (d >= grid.depth[0]) & (d < grid.depth[1])
+    valid = in_img & in_depth & sem_valid[:, None, :]  # (B, N, V)
+
+    # bilinear-sample the DS semantic map at image coords (align_corners=False)
+    gx = u / ((Wimg - 1) / 2.0) - 1.0
+    gy = v / ((Himg - 1) / 2.0) - 1.0
+    coords = jnp.stack([gx, gy], axis=-1)  # (B, N, V, 2)
+    maps = sem_seg_2d.reshape(B * N, *sem_seg_2d.shape[2:])
+    sampled = grid_sample_2d(maps, coords.reshape(B * N, V, 2), align_corners=False)
+    sampled = sampled.reshape(B, N, V, P)
+
+    # per-group restricted argmax + merged (group-max) argmax
+    neg = jnp.finfo(sampled.dtype).min
+    member_of_gt = member[gt_c]  # (B, V, P)
+    masked = jnp.where(member_of_gt[:, None], sampled, neg)
+    restricted_idx = jnp.argmax(masked, axis=-1)  # (B, N, V)
+    merged = merge_classes_max(sampled, membership[:class_num, :P], axis=-1)
+    merged_idx = jnp.argmax(merged, axis=-1)  # (B, N, V) class ids
+    raw_idx = jnp.argmax(sampled, axis=-1)  # (B, N, V) prompt ids
+
+    gt_bnv = jnp.broadcast_to(gt_c[:, None], merged_idx.shape)
+    sel_soft = (merged_idx == gt_bnv) | (gt_bnv >= class_num - cfg.ov_class_number)
+    sel_det = ~sel_soft
+
+    # cosine(ovw[idx], feat) without materializing (B, N, V, C): precompute
+    # the (B, V, P+1) dot table once and gather per camera/target prompt.
+    ovw = ov_weight.astype(feat.dtype)
+    dots = jnp.einsum("bvc,pc->bvp", feat, ovw, precision=hi)  # (B, V, P+1)
+    feat_norm = jnp.linalg.norm(feat, axis=-1)  # (B, V)
+    ovw_norm = jnp.linalg.norm(ovw, axis=-1)  # (P+1,)
+
+    def cos_with_prompt(idx_bnv):
+        """cosine(feat[b,v], ovw[idx[b,n,v]]) -> (B, N, V)."""
+        idx_bvn = idx_bnv.transpose(0, 2, 1)  # (B, V, N)
+        sel = jnp.take_along_axis(dots, idx_bvn, axis=2).transpose(0, 2, 1)
+        den = jnp.maximum(feat_norm[:, None] * ovw_norm[idx_bnv], 1e-6)
+        return sel / den
+
+    # ---- priority-concerned ignorance (epoch >= stage2_start, `:470-488`) ----
+    dots_sg = jax.lax.stop_gradient(dots)
+    pred_prompt = jnp.argmax(dots_sg[..., :-1], axis=-1)  # (B, V)
+    cos_conf = jnp.take_along_axis(dots_sg, pred_prompt[..., None], axis=-1)[..., 0]
+    cos_conf = cos_conf / jnp.maximum(feat_norm * ovw_norm[pred_prompt], 1e-6)
+    pred_group = group_of_prompt[pred_prompt]  # (B, V)
+    pred_prio = prio[pred_group]
+    lifted_prio = prio[jnp.clip(merged_idx, 0, class_num - 1)]  # (B, N, V)
+    high_conf = (cos_conf[:, None] >= cfg.high_conf_thr) & (pred_prio[:, None] > lifted_prio)
+    ignore_on = (epoch >= cfg.stage2_start).astype(jnp.bool_)
+    sel_soft = sel_soft & ~(high_conf & ignore_on)
+
+    def weighted_loss(sel, cls_idx, target_prompt_idx, extra_weight):
+        """Class-balanced cosine loss per camera (`:449-508`)."""
+        m = (sel & valid).astype(feat.dtype)  # (B, N, V)
+        loss_each = (1.0 - cos_with_prompt(target_prompt_idx)) * m
+        onehot = jax.nn.one_hot(cls_idx, class_num, dtype=feat.dtype) * m[..., None]
+        counts = jnp.sum(onehot, axis=2)  # (B, N, 17)
+        exist = counts > 0
+        inv = jnp.where(exist, 1.0 / jnp.maximum(counts, 1.0), 0.0)
+        if extra_weight is not None:
+            inv = inv * extra_weight[None, None, :]
+        inst_w = jnp.einsum("bnvk,bnk->bnv", onehot, inv)
+        denom = jnp.sum(jnp.where(exist, prio[None, None, :], 0.0), axis=-1)  # (B, N)
+        loss_cam = jnp.sum(loss_each * inst_w, axis=-1) / jnp.maximum(denom, 1e-6)
+        num_cam = jnp.sum(m, axis=-1)  # (B, N)
+        tot = jnp.maximum(jnp.sum(num_cam, axis=-1, keepdims=True), 1.0)
+        has_any = (num_cam > 0).astype(feat.dtype)
+        return jnp.sum(loss_cam * has_any * num_cam / tot, axis=-1)  # (B,)
+
+    del_weight = 0.0 if class_num == cfg.ov_class_number else 1.0
+    loss_det = weighted_loss(sel_det, gt_bnv, restricted_idx, None) * del_weight
+    loss_soft = weighted_loss(
+        sel_soft, jnp.clip(merged_idx, 0, class_num - 1), raw_idx, prio
+    )
+    return jnp.mean(loss_det), jnp.mean(loss_soft)
+
+
+# --------------------------------------------------------------------------
+# stage-2 combined loss (occ_loss.py:93-164)
+# --------------------------------------------------------------------------
+
+
+def occupancy_loss(
+    outputs: Dict[str, jnp.ndarray],
+    voxel_semantics: jnp.ndarray,
+    mask_camera: jnp.ndarray,
+    cam_metas: Dict[str, jnp.ndarray],
+    ov_weight: jnp.ndarray,
+    membership: np.ndarray,
+    grid: GridConfig,
+    image_hw: Tuple[int, int],
+    epoch: jnp.ndarray,
+    cfg: LossConfig,
+) -> Dict[str, jnp.ndarray]:
+    """OccLossFB.forward/loss (`occ_loss.py:93-164`): mask invisible voxels to
+    255, BCE bin loss + weighted distillation losses.
+
+    outputs: model outputs with bin_occ/feat_occ in (B, Z, Y, X, C) layout;
+    voxel_semantics/mask_camera: (B, X, Y, Z).
+    """
+    vs = jnp.where(mask_camera == 0, cfg.ignore_idx, voxel_semantics)
+    # (B, Z, Y, X, C) -> (B, X, Y, Z, C)
+    bin_occ = outputs["bin_occ"].transpose(0, 3, 2, 1, 4)
+    feat_occ = outputs["feat_occ"].transpose(0, 3, 2, 1, 4)
+
+    # current-frame camera metas (the model's metas dict carries (B, F, N, ...))
+    cam_metas = dict(cam_metas)
+    for k in ("intrins", "post_rots"):
+        if cam_metas[k].ndim == 5:
+            cam_metas[k] = cam_metas[k][:, 0]
+    if cam_metas["post_trans"].ndim == 4:
+        cam_metas["post_trans"] = cam_metas["post_trans"][:, 0]
+
+    losses = {}
+    losses["loss_binocc"] = cfg.loss_voxel_ce_weight * bce_bin_occ_loss(
+        bin_occ, vs, cfg.bin_class_weights, cfg.empty_idx, cfg.ignore_idx
+    )
+    loss_det, loss_soft = proj_2d_to_3d_loss(
+        feat_occ, outputs["sem_seg_ds"], vs, cam_metas, ov_weight, membership,
+        cfg.priority, grid, image_hw, epoch, cfg,
+    )
+    if cfg.ov_class_number != cfg.out_channel - 1:
+        losses["loss_featalign_det"] = loss_det * cfg.loss_featalign_det_weight
+    if cfg.ov_class_number != 0:
+        losses["loss_featalign_soft"] = loss_soft * cfg.loss_featalign_soft_weight
+    return losses
+
+
+# --------------------------------------------------------------------------
+# stage-1 depth losses (view_transformer_raw.py:498-535)
+# --------------------------------------------------------------------------
+
+
+def silog_loss(pred: jnp.ndarray, gt: jnp.ndarray, invalid_above: float = 9225.0):
+    """ZoeDepth SILog: sqrt(var(g) + 0.15 mean(g)^2) clipped at 2, g = log
+    ratio, over valid pixels (gt < 9225)."""
+    valid = (gt < invalid_above).astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(valid), 1.0)
+    alpha = 1e-7
+    g = (jnp.log(pred + alpha) - jnp.log(gt + alpha)) * valid
+    mean = jnp.sum(g) / n
+    var = jnp.sum(jnp.square(g - mean) * valid) / n
+    dg = var + 0.15 * jnp.square(mean)
+    return jnp.clip(jnp.sqrt(jnp.maximum(dg, 1e-12)), max=2.0)
+
+
+def depth_bin_ce_loss(pred_depth: jnp.ndarray, gt_depth: jnp.ndarray, grid: GridConfig):
+    """Binary CE between two-hot(pred) and one-hot(gt) bin distributions over
+    pixels with in-range GT (`:513-533`); returns the unweighted mean."""
+    pred_dist = two_hot_depth(pred_depth, grid)  # (..., D, h, w)
+    gt_dist = one_hot_depth(gt_depth, grid)
+    D = grid.num_depth_bins
+    p = jnp.moveaxis(pred_dist, -3, -1).reshape(-1, D)
+    t = jnp.moveaxis(gt_dist, -3, -1).reshape(-1, D)
+    fg = (jnp.max(t, axis=-1) > 0.0).astype(jnp.float32)
+    eps = 1e-12
+    p32 = jnp.clip(p.astype(jnp.float32), eps, 1 - eps)
+    bce = -(t * jnp.log(p32) + (1 - t) * jnp.log1p(-p32))
+    return jnp.sum(bce.sum(-1) * fg) / jnp.maximum(jnp.sum(fg), 1.0)
+
+
+def depth_pretrain_loss(pred_depth, gt_depth, grid: GridConfig, cfg: LossConfig):
+    """Stage-1 loss dict (`veon_depth_pretrain.py:91-147` + get_depth_loss_own)."""
+    return {
+        "loss_depth_zoe": silog_loss(pred_depth, gt_depth),
+        "loss_depth_ce": cfg.loss_depth_ce_weight * depth_bin_ce_loss(pred_depth, gt_depth, grid),
+    }

@@ -1,0 +1,206 @@
+"""Training step: AdamW + grad-clip + warmup, stage-2 freezing, EMA, and
+SPMD data parallelism with cross-replica BatchNorm.
+
+Replaces the reference's mmcv EpochBasedRunner + MMDistributedDataParallel +
+hooks (`mmdet3d/apis/train.py:180-327`, `core/hook/ema.py`,
+`core/hook/syncbncontrol.py`): one jit/shard_map-compiled step where the
+gradient all-reduce is a psum over the `batch` mesh axis (ICI collective) and
+BatchNorm batch stats are averaged with the same axis name (the SyncBN
+equivalent — SyncbnControlHook converts at epoch 0, so we sync from step 0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..configs.base import LossConfig, VeonConfig
+from ..model.veon import VeonModel
+from .losses import occupancy_loss
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    ema_batch_stats: Any
+    step: jnp.ndarray
+    ema_updates: jnp.ndarray
+
+
+STAGE2_FROZEN_PREFIXES = ("depth", "side_adapter")
+# CLIP towers frozen except the visual positional embedding
+# (FeatureExtractor frozen_exclude=["positional_embedding"], san_config.py:46;
+# rec head fully frozen, CLIP_DEEPER_FROZEN_EXCLUDE=[]; detector-level freeze
+# of depth estimator + side adapter: veon_temporal.py:88-96).
+
+
+def stage2_trainable(path: Tuple[str, ...]) -> bool:
+    top = path[0]
+    if top in STAGE2_FROZEN_PREFIXES:
+        return False
+    if top == "clip_visual":
+        return path[-1] == "positional_embedding"
+    if top == "rec_head":
+        return False
+    return True  # hsa, lift_fusion, alignnet
+
+
+def trainable_mask(params, predicate: Callable[[Tuple[str, ...]], bool]):
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def label(path):
+        keys = tuple(
+            k.key if hasattr(k, "key") else str(k) for k in path
+        )
+        return "train" if predicate(keys) else "frozen"
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: label(p), params)
+
+
+def make_optimizer(
+    lr: float = 1e-4,
+    weight_decay: float = 1e-2,
+    warmup_iters: int = 200,
+    warmup_ratio: float = 1e-3,
+    max_norm: float = 5.0,
+    labels=None,
+):
+    """AdamW(lr 1e-4, wd 1e-2) + global-norm clip 5 + linear warmup
+    (configs/veon/...py:244-251)."""
+    schedule = optax.join_schedules(
+        [
+            optax.linear_schedule(lr * warmup_ratio, lr, warmup_iters),
+            optax.constant_schedule(lr),
+        ],
+        [warmup_iters],
+    )
+    inner = optax.chain(
+        optax.clip_by_global_norm(max_norm),
+        optax.adamw(schedule, weight_decay=weight_decay),
+    )
+    if labels is None:
+        return inner
+    return optax.multi_transform(
+        {"train": inner, "frozen": optax.set_to_zero()}, labels
+    )
+
+
+def ema_decay(updates: jnp.ndarray, decay: float = 0.999) -> jnp.ndarray:
+    """MEGVII EMA ramp (`core/hook/ema.py:44`): decay * (1 - exp(-x/2000))."""
+    return decay * (1.0 - jnp.exp(-updates / 2000.0))
+
+
+def ema_update(ema_tree, new_tree, d):
+    return jax.tree_util.tree_map(lambda e, p: e * d + (1.0 - d) * p, ema_tree, new_tree)
+
+
+def create_train_state(
+    model: VeonModel, variables, tx, init_updates: int = 10560
+) -> TrainState:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        ema_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
+        step=jnp.zeros((), jnp.int32),
+        ema_updates=jnp.asarray(init_updates, jnp.float32),
+    )
+
+
+def make_train_step(
+    model: VeonModel,
+    tx,
+    cfg: VeonConfig,
+    membership: np.ndarray,
+    mesh: Optional[Mesh] = None,
+):
+    """Build the stage-2 train step.
+
+    batch: imgs (B,F,N,H,W,3), depth (B,F,N,H/2,W/2), metas dict,
+      voxel_semantics (B,X,Y,Z), mask_camera (B,X,Y,Z), ov_weight, epoch.
+
+    With a mesh, the step runs under shard_map over the `batch` axis: inputs
+    batch-sharded, params replicated, grads psum-averaged, BN stats synced.
+    """
+    image_hw = cfg.data.input_size
+    axis = "batch" if mesh is not None else None
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        outputs, mutated = model.apply(
+            variables, batch["imgs"], batch["depth"], batch["metas"],
+            batch["ov_weight"], train=True, mutable=["batch_stats"],
+        )
+        losses = occupancy_loss(
+            outputs, batch["voxel_semantics"], batch["mask_camera"],
+            batch["metas"], batch["ov_weight"], membership, cfg.grid,
+            image_hw, batch["epoch"], cfg.loss,
+        )
+        total = sum(losses.values())
+        return total, (losses, mutated["batch_stats"])
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch)
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            losses = jax.lax.pmean(losses, axis)
+            total = jax.lax.pmean(total, axis)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        d = ema_decay(state.ema_updates + 1.0)
+        state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            ema_params=ema_update(state.ema_params, new_params, d),
+            ema_batch_stats=ema_update(state.ema_batch_stats, new_stats, d),
+            step=state.step + 1,
+            ema_updates=state.ema_updates + 1.0,
+        )
+        losses["loss_total"] = total
+        return state, losses
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    from jax.experimental.shard_map import shard_map
+
+    batch_specs = {
+        "imgs": P("batch"),
+        "depth": P("batch"),
+        "metas": {
+            "sensor2egos": P("batch"), "ego2globals": P("batch"),
+            "intrins": P("batch"), "post_rots": P("batch"),
+            "post_trans": P("batch"), "bda": P("batch"),
+            "lidarego2global": P("batch"), "prev_lidarego2global": P("batch"),
+            "cam2camego": P("batch"), "camego2global": P("batch"),
+        },
+        "voxel_semantics": P("batch"),
+        "mask_camera": P("batch"),
+        "ov_weight": P(),
+        "epoch": P(),
+    }
+    state_spec = P()  # replicated params/optimizer
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(state_spec, batch_specs),
+        out_specs=(state_spec, P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
