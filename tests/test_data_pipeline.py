@@ -1,0 +1,189 @@
+"""Data-layer tests on synthetic mini-fixtures (the reference's strategy:
+tiny real-format samples under tests/data, SURVEY.md section 4)."""
+
+import dataclasses
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from veon_tpu.configs.base import DataConfig, GridConfig
+from veon_tpu.data import transforms as T
+from veon_tpu.data.depth_gt import points_to_depth_map, project_points
+from veon_tpu.data.loader import DataLoader, collate
+from veon_tpu.data.nuscenes import NuScenesOccDataset, load_infos
+
+GRID = GridConfig()
+
+
+def test_quaternion_matrix_matches_known_values():
+    # identity and 90-degree z rotation
+    np.testing.assert_allclose(T.quaternion_matrix([1, 0, 0, 0]), np.eye(3), atol=1e-12)
+    s = np.sqrt(0.5)
+    want = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], dtype=float)
+    np.testing.assert_allclose(T.quaternion_matrix([s, 0, 0, s]), want, atol=1e-12)
+
+
+def test_normalizers_channel_swap_quirk():
+    img = np.zeros((2, 2, 3), np.uint8)
+    img[..., 0] = 200  # red in RGB
+    out = T.normalize_clipsan(img)
+    # channel swap puts the 200 in the last (now-B-position->first?) channel:
+    # out[...,2] should carry the red value normalized by index-2 stats
+    np.testing.assert_allclose(out[0, 0, 2], (200 - 104.0937) / 70.3232, rtol=1e-5)
+    np.testing.assert_allclose(out[0, 0, 0], (0 - 122.7709) / 68.5005, rtol=1e-5)
+
+
+def test_dav2_size_formula():
+    # 256x704 -> height fits 252, width rounds to multiple of 14
+    nh, nw = T.dav2_size(256, 704)
+    assert nh == 252 and nw % 14 == 0 and nw >= 252
+    # exact reference arithmetic: scale=252/256, W'=693.0 -> round(49.5)*14
+    assert nw == int(np.round(693.0 / 14) * 14)
+    assert T.dav2_size(252, 252) == (252, 252)
+
+
+def test_aug_homography_matches_torch_reference_math():
+    torch = pytest.importorskip("torch")
+    aug = T.ImageAug(resize=0.44, resize_dims=(704, 396), crop=(0, 140, 704, 396),
+                     flip=True, rotate=3.5)
+    rot3, tran3 = T.aug_homography(aug)
+
+    # literal re-derivation of img_transform (loading.py:1122-1137)
+    post_rot = torch.eye(2) * aug.resize
+    post_tran = torch.zeros(2) - torch.Tensor(aug.crop[:2])
+    A = torch.Tensor([[-1, 0], [0, 1]])
+    b = torch.Tensor([aug.crop[2] - aug.crop[0], 0])
+    post_rot = A.matmul(post_rot)
+    post_tran = A.matmul(post_tran) + b
+    h = torch.tensor(aug.rotate / 180 * np.pi)
+    A = torch.Tensor([[torch.cos(h), torch.sin(h)], [-torch.sin(h), torch.cos(h)]])
+    b = torch.Tensor([aug.crop[2] - aug.crop[0], aug.crop[3] - aug.crop[1]]) / 2
+    b = A.matmul(-b) + b
+    post_rot = A.matmul(post_rot)
+    post_tran = A.matmul(post_tran) + b
+    np.testing.assert_allclose(rot3[:2, :2], post_rot.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(tran3[:2], post_tran.numpy(), rtol=1e-4)
+
+
+def test_points_to_depth_map_min_dedup():
+    # two points in the same pixel keep the nearer one
+    pts = np.array([[3.2, 2.1, 10.0], [3.4, 2.3, 5.0], [50.0, 2.0, 8.0]], np.float32)
+    m = points_to_depth_map(pts, height=8, width=16, grid=GRID)
+    assert m[2, 3] == 5.0
+    assert (m > 0).sum() == 1  # third point out of bounds (x=50 >= 16)
+
+
+def _make_fixture(root):
+    from PIL import Image
+
+    cams = ["CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
+            "CAM_BACK_LEFT", "CAM_BACK", "CAM_BACK_RIGHT"]
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.join(root, "imgs"), exist_ok=True)
+    infos = []
+    for si in range(3):
+        cams_d = {}
+        for ci, cam in enumerate(cams):
+            p = os.path.join(root, "imgs", f"s{si}_{cam}.jpg")
+            Image.fromarray(
+                rng.integers(0, 255, size=(90, 160, 3), dtype=np.uint8)
+            ).save(p)
+            th = ci * np.pi / 3
+            q = [np.cos(th / 2), 0.0, 0.0, np.sin(th / 2)]
+            cams_d[cam] = {
+                "data_path": p,
+                "cam_intrinsic": [[100.0, 0, 80], [0, 100.0, 45], [0, 0, 1]],
+                "sensor2ego_rotation": q,
+                "sensor2ego_translation": [0.0, 0.0, 1.5],
+                "ego2global_rotation": [1.0, 0, 0, 0],
+                "ego2global_translation": [si * 1.0, 0.0, 0.0],
+            }
+        occ_dir = os.path.join(root, f"occ_{si}")
+        os.makedirs(occ_dir, exist_ok=True)
+        np.savez(
+            os.path.join(occ_dir, "labels.npz"),
+            semantics=rng.integers(0, 18, size=(20, 20, 4)).astype(np.uint8),
+            mask_lidar=rng.integers(0, 2, size=(20, 20, 4)).astype(np.uint8),
+            mask_camera=rng.integers(0, 2, size=(20, 20, 4)).astype(np.uint8),
+        )
+        lidar_path = os.path.join(root, f"lidar_{si}.bin")
+        pts = rng.uniform(-30, 30, size=(200, 5)).astype(np.float32)
+        pts.tofile(lidar_path)
+        infos.append({
+            "token": f"tok{si}",
+            "timestamp": si,
+            "scene_token": "sceneA" if si < 2 else "sceneB",
+            "lidar_path": lidar_path,
+            "occ_path": occ_dir,
+            "lidar2ego_rotation": [1.0, 0, 0, 0],
+            "lidar2ego_translation": [0.0, 0.0, 1.8],
+            "ego2global_rotation": [1.0, 0, 0, 0],
+            "ego2global_translation": [si * 1.0, 0.0, 0.0],
+            "cams": cams_d,
+        })
+    pkl_path = os.path.join(root, "infos.pkl")
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"infos": infos, "metadata": {"version": "test"}}, f)
+    return pkl_path
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("nusc")
+    pkl = _make_fixture(str(root))
+    return str(root), pkl
+
+
+def _data_cfg():
+    return DataConfig(input_size=(64, 176), depth_input_size=(32, 88),
+                      src_size=(90, 160))
+
+
+def test_dataset_sample_shapes(fixture_root):
+    root, pkl = fixture_root
+    grid = GridConfig(x=(-40, 40, 4.0), y=(-40, 40, 4.0), z=(-1, 5.4, 1.6),
+                      depth=(1.0, 45.0, 5.5))
+    ds = NuScenesOccDataset(infos=load_infos(pkl), data_cfg=_data_cfg(),
+                            grid=grid, num_temporal=2, data_root=root)
+    s = ds[1]  # has a previous frame in the same scene
+    assert s["imgs"].shape == (2, 6, 64, 176, 3)
+    # DA-V2 resize of the 32x88 depth crop -> multiple of 14, >= 252
+    assert s["depth_imgs"].shape[0:2] == (2, 6)
+    assert s["depth_imgs"].shape[2] % 14 == 0 and s["depth_imgs"].shape[3] % 14 == 0
+    assert s["metas"]["sensor2egos"].shape == (2, 6, 4, 4)
+    assert s["metas"]["prev_lidarego2global"].shape == (1, 4, 4)
+    assert s["voxel_semantics"].shape == (20, 20, 4)
+    assert s["gt_depth"].shape == (6, 64, 176)
+    assert s["metas"]["cam2camego"].shape == (6, 4, 4)
+    # adjacent fallback at scene boundary: index 2 starts sceneB
+    s2 = ds[2]
+    np.testing.assert_array_equal(
+        s2["metas"]["prev_lidarego2global"][0], s2["metas"]["lidarego2global"]
+    )
+
+
+def test_loader_batches_and_order(fixture_root):
+    root, pkl = fixture_root
+    grid = GridConfig(x=(-40, 40, 4.0), y=(-40, 40, 4.0), z=(-1, 5.4, 1.6),
+                      depth=(1.0, 45.0, 5.5))
+    ds = NuScenesOccDataset(infos=load_infos(pkl), data_cfg=_data_cfg(),
+                            grid=grid, num_temporal=1, data_root=root)
+    dl = DataLoader(ds, batch_size=1, shuffle=False, num_workers=2, drop_last=False)
+    batches = list(dl)
+    assert len(batches) == 3
+    assert batches[0]["token"] == ["tok0"]
+    assert batches[0]["imgs"].shape == (1, 1, 6, 64, 176, 3)
+
+
+def test_dataset_evaluate_runs(fixture_root):
+    root, pkl = fixture_root
+    grid = GridConfig(x=(-40, 40, 4.0), y=(-40, 40, 4.0), z=(-1, 5.4, 1.6),
+                      depth=(1.0, 45.0, 5.5))
+    ds = NuScenesOccDataset(infos=load_infos(pkl), data_cfg=_data_cfg(),
+                            grid=grid, data_root=root)
+    rng = np.random.default_rng(0)
+    preds = [rng.integers(0, 18, size=(20, 20, 4)) for _ in range(3)]
+    res = ds.evaluate(preds)
+    assert "mIoU" in res and np.isfinite(res["mIoU"])

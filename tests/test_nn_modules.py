@@ -132,7 +132,8 @@ def test_side_adapter_network_shapes():
     # side grid: 64/16 x 176/16 = 4 x 11
     assert mask_preds.shape == (1, cfg.num_queries, 4, 11)
     assert attn_bias.shape == (1, cfg.attn_bias_heads, cfg.num_queries, 4, 11)
-    assert len(san_feats) == cfg.side_depth
+    # san_feats: only the final feature map is kept (unused downstream in VEON)
+    assert len(san_feats) == 1 and san_feats[0].shape == (1, 4, 11, cfg.side_width)
 
 
 def test_hsa_shapes():

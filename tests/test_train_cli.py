@@ -1,0 +1,136 @@
+"""Train-step, EMA, depth-pretrain and CLI smoke tests (tiny config, CPU)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from veon_tpu.configs import presets
+from veon_tpu.configs.base import DepthConfig, GridConfig, LossConfig
+from veon_tpu.model.veon import VeonModel
+from veon_tpu.nn import text as text_mod
+from veon_tpu.nn.dpt import DepthAnythingV2
+from veon_tpu.cli.shapes import example_batch
+from veon_tpu.train.step import (
+    create_train_state,
+    ema_decay,
+    make_optimizer,
+    make_train_step,
+    stage2_trainable,
+    trainable_mask,
+)
+from veon_tpu.train.depth_pretrain import depth_trainable, make_depth_pretrain_step
+from veon_tpu.utils.params import count_parameters, param_table
+
+
+def test_ema_decay_ramp():
+    np.testing.assert_allclose(float(ema_decay(jnp.asarray(0.0))), 0.0)
+    # at init_updates=10560 the ramp is nearly saturated
+    assert float(ema_decay(jnp.asarray(10560.0))) > 0.99
+
+
+def test_stage2_trainable_partition():
+    assert not stage2_trainable(("depth", "pretrained", "x"))
+    assert not stage2_trainable(("side_adapter", "last_block", "kernel"))
+    assert not stage2_trainable(("rec_head", "resblocks", "k"))
+    assert stage2_trainable(("clip_visual", "positional_embedding"))
+    assert not stage2_trainable(("clip_visual", "segment_0_3", "kernel"))
+    assert stage2_trainable(("hsa", "x"))
+    assert stage2_trainable(("alignnet", "x"))
+
+
+def test_single_device_train_step_updates_only_trainable():
+    cfg = presets.veon_tiny_test()
+    model = VeonModel(cfg=cfg)
+    B = 1
+    imgs, depth, metas = example_batch(cfg, B=B)
+    prompts, refl = text_mod.build_vocabulary(cfg.vocabulary)
+    rng = np.random.default_rng(0)
+    ovw = jnp.asarray(rng.standard_normal((len(prompts) + 1, cfg.san.clip_embed_dim)).astype(np.float32))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), imgs, depth, metas, ovw, train=True
+    )
+    labels = trainable_mask(variables["params"], stage2_trainable)
+    tx = make_optimizer(labels=labels)
+    state = create_train_state(model, variables, tx)
+    nx, ny, nz = cfg.grid.size
+    batch = {
+        "imgs": imgs, "depth": depth, "metas": metas,
+        "voxel_semantics": jnp.asarray(rng.integers(0, 18, size=(B, nx, ny, nz)).astype(np.int32)),
+        "mask_camera": jnp.ones((B, nx, ny, nz), jnp.int32),
+        "ov_weight": ovw, "epoch": jnp.asarray(0, jnp.int32),
+    }
+    membership = text_mod.merge_matrix(refl)
+    step = make_train_step(model, tx, cfg, membership, mesh=None)
+    old_params = jax.tree_util.tree_map(jnp.copy, state.params)
+    state, losses = step(state, batch)
+    assert np.isfinite(float(losses["loss_total"]))
+
+    # frozen subtrees unchanged; trainable ones moved
+    def moved(a, b):
+        return float(jnp.abs(a - b).max()) > 0
+
+    assert not any(
+        moved(a, b) for a, b in zip(
+            jax.tree_util.tree_leaves(old_params["side_adapter"]),
+            jax.tree_util.tree_leaves(state.params["side_adapter"]))
+    )
+    assert any(
+        moved(a, b) for a, b in zip(
+            jax.tree_util.tree_leaves(old_params["alignnet"]),
+            jax.tree_util.tree_leaves(state.params["alignnet"]))
+    )
+    # EMA moved toward new params
+    assert float(state.ema_updates) == 10561.0
+
+
+def test_depth_pretrain_step():
+    grid = GridConfig()
+    dcfg = DepthConfig(encoder="vits", features=8, out_channels=(4, 8, 8, 8),
+                       lora_r=2)
+    model = DepthAnythingV2(cfg=dcfg)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((1, 1, 2, 28, 42, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(1, 40, size=(1, 2, 32, 48)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs[0, 0])
+    labels = trainable_mask(variables["params"], depth_trainable)
+    tx = make_optimizer(labels=labels)
+    from veon_tpu.train.step import create_train_state
+
+    state = create_train_state(model, variables, tx, init_updates=0)
+    step = make_depth_pretrain_step(model, tx, grid, LossConfig(),
+                                    pred_downsample=8, gt_downsample=16)
+    old = jax.tree_util.tree_map(jnp.copy, state.params)
+    state, losses = step(state, {"depth_imgs": imgs, "gt_depth": gt})
+    assert np.isfinite(float(losses["loss_total"]))
+    # trunk base weights frozen, LoRA + head move
+    base = old["pretrained"]["segment_0_3"]["blocks"]["block"]["attn"]["qkv"]["base"]["kernel"]
+    new_base = state.params["pretrained"]["segment_0_3"]["blocks"]["block"]["attn"]["qkv"]["base"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(new_base))
+    lora = old["pretrained"]["segment_0_3"]["blocks"]["block"]["attn"]["qkv"]["lora_B"]
+    new_lora = state.params["pretrained"]["segment_0_3"]["blocks"]["block"]["attn"]["qkv"]["lora_B"]
+    assert float(jnp.abs(lora - new_lora).max()) > 0
+
+
+def test_param_table_runs():
+    cfg = presets.veon_tiny_test()
+    model = VeonModel(cfg=cfg)
+    imgs, depth, metas = example_batch(cfg, B=1)
+    prompts, _ = text_mod.build_vocabulary(cfg.vocabulary)
+    ovw = jnp.zeros((len(prompts) + 1, cfg.san.clip_embed_dim))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), imgs, depth, metas, ovw, train=False
+    )
+    table = param_table(variables["params"], stage2_trainable)
+    assert "alignnet" in table and "TOTAL" in table
+    assert count_parameters(variables["params"]) > 0
+
+
+def test_cli_selftest_runs(capsys):
+    from veon_tpu.cli.main import main
+
+    main(["selftest"])
+    out = capsys.readouterr().out
+    assert "selftest ok" in out

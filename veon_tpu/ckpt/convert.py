@@ -222,16 +222,30 @@ def convert_side_adapter(sd: SD, prefix: str, cfg: SANConfig) -> Dict:
         "query_embed": sd[f"{p}query_embed"][0],
         "query_pos_embed": sd[f"{p}query_pos_embed"][0],
     }
-    for i in range(cfg.side_depth):
-        out[f"blocks_{i}"] = _timm_block(sd, f"{p}vit_model.blocks.{i}")
-    for blk_idx, _clip in cfg.fusion_map:
+
+    def fusion_params(blk_idx):
         fk = f"{p}fusion_layers.layer_{blk_idx}"
-        out[f"fusion_layer_{blk_idx}"] = {
+        return {
             "ln": {"scale": sd[f"{fk}.input_proj.0.weight"],
                    "bias": sd[f"{fk}.input_proj.0.bias"]},
             "proj": {"kernel": sd[f"{fk}.input_proj.1.weight"][:, :, 0, 0].T,
                      "bias": sd[f"{fk}.input_proj.1.bias"]},
         }
+
+    out["fusion_layer_0"] = fusion_params(0)
+    n_fused = len(cfg.fusion_map) - 1
+    out["fused_blocks"] = {
+        "block": _stack([_timm_block(sd, f"{p}vit_model.blocks.{i}")
+                         for i in range(n_fused)]),
+        "fusion": _stack([fusion_params(i + 1) for i in range(n_fused)]),
+    }
+    n_plain = cfg.side_depth - n_fused - 1
+    if n_plain > 0:
+        out["plain_blocks"] = {
+            "block": _stack([_timm_block(sd, f"{p}vit_model.blocks.{i}")
+                             for i in range(n_fused, n_fused + n_plain)])
+        }
+    out["last_block"] = _timm_block(sd, f"{p}vit_model.blocks.{cfg.side_depth - 1}")
     md = f"{p}mask_decoder"
     dec: Dict[str, Any] = {}
     for branch, conv in (("query_mlp", False), ("pix_mlp", True), ("attn_mlp", True)):
@@ -266,17 +280,17 @@ def convert_hsa(sd: SD, prefix: str, cfg) -> Dict:
             "ln2": _ln(sd, f"{key}.ln2"),
         }
 
+    blocks = []
     for i in range(len(cfg.fusion_map)):
         k = f"{p}hsa_net_body.{i}"
-        blk = {
+        blocks.append({
             "ln_3": _ln(sd, f"{k}.ln_3"),
             "ff": conv_ffn(f"{k}.ff"),
             "ln_4": _ln(sd, f"{k}.ln_4"),
             "neck_add": {"kernel": sd[f"{k}.neck_add.weight"].T},
-        }
-        if i == 0:
-            blk["pre_norm"] = _ln(sd, f"{k}.pre_norm")
-        out[f"hsa_block_{i}"] = blk
+        })
+    out["pre_norm"] = _ln(sd, f"{p}hsa_net_body.0.pre_norm")
+    out["hsa_blocks"] = {"block": _stack(blocks)}
 
     def ff_head(key):
         return {
@@ -310,14 +324,17 @@ def convert_alignnet(sd: SD, prefix: str, cfg) -> Tuple[Dict, Dict]:
         pr, st = _bn(sd, f"{src}.bn")
         return {"conv": _conv3d(sd, f"{src}.conv"), "bn": pr}, {"bn": st}
 
+    blk_ps, blk_ss = [], []
     for i in range(cfg.layer_depth):
         blk_p, blk_s = {}, {}
         for j in (1, 2):
             cp, cs = conv_bn(f"{p}layers_3d_body.{i}.conv{j}")
             blk_p[f"conv{j}"] = cp
             blk_s[f"conv{j}"] = cs
-        params[f"res3d_{i}"] = blk_p
-        stats[f"res3d_{i}"] = blk_s
+        blk_ps.append(blk_p)
+        blk_ss.append(blk_s)
+    params["res3d"] = {"block": _stack(blk_ps)}
+    stats["res3d"] = {"block": _stack(blk_ss)}
 
     op, osd = conv_bn(f"{p}occupancy_pred.occ_conv1")
     params["occupancy_pred"] = {"occ_conv1": op,

@@ -1,0 +1,324 @@
+"""Command-line entry points: train / test / retrieval / depth tooling.
+
+Replaces `tools/train.py`, `tools/test.py`, `tools/dist_*.sh`,
+`tools/analysis_tools/benchmark.py` and the depth-cache/pretrain configs:
+one `python -m veon_tpu.cli.main <cmd>` with preset-based configuration
+(multi-device runs use the in-process device mesh — no torch.distributed
+launcher needed on TPU).
+
+Usage:
+  python -m veon_tpu.cli.main train --preset veon_b --data-root data/nuscenes \
+      --ann data/nuscenes/bevdetv2-nuscenes_infos_train.pkl --work-dir work
+  python -m veon_tpu.cli.main test  --preset veon_b --ckpt work/step_28128 ...
+  python -m veon_tpu.cli.main cache-depth ...
+  python -m veon_tpu.cli.main pretrain-depth ...
+  python -m veon_tpu.cli.main benchmark
+  python -m veon_tpu.cli.main selftest       # synthetic end-to-end smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _build_cfg(args):
+    from ..configs import presets
+
+    cfg = getattr(presets, args.preset)(num_temporal=args.num_temporal)
+    return cfg
+
+
+def _build_model_and_params(cfg, ckpt=None, san_ckpt=None, depth_ckpt=None, train=False):
+    import jax
+    import jax.numpy as jnp
+
+    from ..model.veon import VeonModel
+    from ..nn import text as text_mod
+
+    model = VeonModel(cfg=cfg, bn_axis_name="batch" if train else None)
+    prompts, refl = text_mod.build_vocabulary(cfg.vocabulary)
+    rng = np.random.default_rng(0)
+    ovw = jnp.asarray(
+        rng.standard_normal((len(prompts) + 1, cfg.san.clip_embed_dim)).astype(np.float32)
+    )
+
+    from ..cli.shapes import example_batch_full
+
+    imgs, depth_imgs, metas = example_batch_full(cfg, B=1)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(model.init, static_argnames=("train", "method"))(
+            jax.random.PRNGKey(0), imgs, depth_imgs, metas, ovw, train=train,
+            method=VeonModel.full_forward,
+        )
+    variables = dict(variables)
+    if san_ckpt:
+        from ..ckpt import convert as C
+
+        sd = C.load_torch_state_dict(san_ckpt)
+        params, stats, extras = C.convert_san_semantic(sd, cfg)
+        merged = dict(variables["params"])
+        merged.update({k: v for k, v in params.items()})
+        variables["params"] = merged
+        if stats:
+            bs = dict(variables.get("batch_stats", {}))
+            bs.update(stats)
+            variables["batch_stats"] = bs
+    if depth_ckpt:
+        from ..ckpt import convert as C
+
+        sd = C.load_torch_state_dict(depth_ckpt)
+        variables["params"] = dict(variables["params"])
+        variables["params"]["depth"] = C.convert_dav2(sd, cfg.depth)
+    import jax
+
+    variables = jax.device_put(variables, jax.devices()[0])
+    return model, variables, ovw, refl
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from ..data.loader import DataLoader
+    from ..data.nuscenes import NuScenesOccDataset, load_infos
+    from ..nn import text as text_mod
+    from ..train.loop import train_epochs
+    from ..train.step import (create_train_state, make_optimizer,
+                              make_train_step, stage2_trainable, trainable_mask)
+    from ..utils.params import param_table
+
+    cfg = _build_cfg(args)
+    model, variables, ovw, refl = _build_model_and_params(
+        cfg, san_ckpt=args.load_from, depth_ckpt=args.depth_load_from, train=True
+    )
+    print(param_table(variables["params"], stage2_trainable))
+
+    ds = NuScenesOccDataset(
+        infos=load_infos(args.ann), data_cfg=cfg.data, grid=cfg.grid,
+        num_temporal=cfg.num_temporal, is_train=True, data_root=args.data_root,
+        depth_cache_dir=args.depth_cache,
+    )
+    loader = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
+                        num_workers=args.workers)
+
+    labels = trainable_mask(variables["params"], stage2_trainable)
+    tx = make_optimizer(lr=args.lr, labels=labels)
+    state = create_train_state(model, variables, tx)
+    devices = jax.devices()
+    mesh = Mesh(np.asarray(devices), ("batch",)) if len(devices) > 1 else None
+    membership = text_mod.merge_matrix(refl)
+    step = make_train_step(model, tx, cfg, membership, mesh=mesh)
+    train_epochs(state, step, loader, ovw, max_epochs=args.epochs,
+                 work_dir=args.work_dir)
+
+
+def cmd_test(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.loader import DataLoader
+    from ..data.nuscenes import NuScenesOccDataset, load_infos
+    from ..model.veon import fusion_rule
+    from ..nn import text as text_mod
+    from ..train.loop import evaluate_occ
+
+    cfg = _build_cfg(args)
+    model, variables, ovw, refl = _build_model_and_params(
+        cfg, san_ckpt=args.load_from, depth_ckpt=args.depth_load_from
+    )
+    if args.ckpt:
+        from ..ckpt.io import load_checkpoint
+
+        state = load_checkpoint(args.ckpt)
+        variables = {"params": state["ema_params" if args.ema else "params"],
+                     "batch_stats": state["ema_batch_stats" if args.ema else "batch_stats"]}
+    membership = text_mod.merge_matrix(refl)
+
+    from ..model.veon import VeonModel
+    import functools
+
+    # variables passed explicitly: closing over them would inline the full
+    # parameter set as HLO constants (breaks this backend's remote compile)
+    @functools.partial(jax.jit, static_argnames=())
+    def _predict(variables, imgs, depth_imgs, metas, ovw):
+        out = model.apply(variables, imgs, depth_imgs, metas, ovw, train=False,
+                          method=VeonModel.full_forward)
+        merged = text_mod.merge_classes_max(out["sem_occ_raw"], membership, axis=-1)
+        return fusion_rule(merged, out["bin_occ"])
+
+    def predict(imgs, depth_imgs, metas, ovw):
+        return _predict(variables, imgs, depth_imgs, metas, ovw)
+
+    ds = NuScenesOccDataset(
+        infos=load_infos(args.ann), data_cfg=cfg.data, grid=cfg.grid,
+        num_temporal=cfg.num_temporal, is_train=False, data_root=args.data_root,
+        load_lidar_depth=False,
+    )
+    loader = DataLoader(ds, batch_size=1, shuffle=False, num_workers=args.workers,
+                        drop_last=False)
+    res = evaluate_occ(predict, loader, ovw)
+    print(json.dumps(res, indent=2))
+
+
+def cmd_cache_depth(args):
+    import jax
+
+    from ..data.loader import DataLoader
+    from ..data.nuscenes import NuScenesOccDataset, load_infos
+    from ..nn.dpt import DepthAnythingV2
+    from ..train.loop import write_depth_cache
+
+    cfg = _build_cfg(args)
+    model, variables, _, _ = _build_model_and_params(cfg, depth_ckpt=args.depth_load_from)
+
+    @jax.jit
+    def depth_fn(depth_imgs):
+        return model.apply(variables, depth_imgs, method=type(model).estimate_depth)
+
+    ds = NuScenesOccDataset(
+        infos=load_infos(args.ann), data_cfg=cfg.data, grid=cfg.grid,
+        num_temporal=1, is_train=False, data_root=args.data_root,
+        load_lidar_depth=False, load_occ_gt=False,
+    )
+    loader = DataLoader(ds, batch_size=args.batch_size, shuffle=False,
+                        num_workers=args.workers, drop_last=False)
+    write_depth_cache(depth_fn, loader, args.cache_dir, cfg.data.cams)
+
+
+def cmd_pretrain_depth(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.loader import DataLoader
+    from ..data.nuscenes import NuScenesOccDataset, load_infos
+    from ..nn.dpt import DepthAnythingV2
+    from ..train.depth_pretrain import (depth_trainable, make_depth_pretrain_step)
+    from ..train.step import create_train_state, make_optimizer, trainable_mask
+    from ..train.loop import _to_device
+    from ..ckpt.io import save_checkpoint
+
+    import dataclasses
+
+    cfg = _build_cfg(args)
+    # stage-1 feeds the FULL input resolution to the depth tower
+    # (veon-pretrain config; SURVEY.md section 3.4)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, depth_input_size=cfg.data.input_size)
+    )
+    model = DepthAnythingV2(cfg=cfg.depth)
+    H, W = cfg.data.input_size
+    cpu = jax.devices("cpu")[0]
+    from ..data.transforms import dav2_size
+
+    dh, dw = dav2_size(H, W)
+    with jax.default_device(cpu):
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, dh, dw, 3)))
+    if args.depth_load_from:
+        from ..ckpt import convert as C
+
+        sd = C.load_torch_state_dict(args.depth_load_from)
+        variables = {"params": C.convert_dav2(sd, cfg.depth)}
+    variables = jax.device_put(variables, jax.devices()[0])
+
+    labels = trainable_mask(variables["params"], depth_trainable)
+    tx = make_optimizer(lr=args.lr, labels=labels)
+    state = create_train_state(model, variables, tx, init_updates=0)
+    step = make_depth_pretrain_step(model, tx, cfg.grid, cfg.loss)
+
+    ds = NuScenesOccDataset(
+        infos=load_infos(args.ann), data_cfg=cfg.data, grid=cfg.grid,
+        num_temporal=1, is_train=True, data_root=args.data_root, load_occ_gt=False,
+    )
+    loader = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
+                        num_workers=args.workers)
+    import time
+
+    for epoch in range(args.epochs):
+        loader.set_epoch(epoch)
+        for it, batch in enumerate(loader):
+            b = {"depth_imgs": batch["depth_imgs"], "gt_depth": batch["gt_depth"]}
+            state, losses = step(state, _to_device(b))
+            if (it + 1) % 50 == 0:
+                losses = jax.device_get(losses)
+                print(f"epoch {epoch + 1} iter {it + 1}: "
+                      + ", ".join(f"{k}={float(v):.4f}" for k, v in losses.items()))
+        save_checkpoint(args.work_dir, int(jax.device_get(state.step)), state)
+
+
+def cmd_benchmark(args):
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(0, root)
+    import bench
+
+    bench.main()
+
+
+def cmd_selftest(args):
+    """Synthetic end-to-end smoke on the current backend (tiny config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..configs import presets
+    from ..model.veon import VeonModel, fusion_rule
+    from ..nn import text as text_mod
+    from ..cli.shapes import example_batch
+
+    cfg = presets.veon_tiny_test()
+    model = VeonModel(cfg=cfg)
+    imgs, depth, metas = example_batch(cfg, B=1)
+    prompts, refl = text_mod.build_vocabulary(cfg.vocabulary)
+    ovw = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (len(prompts) + 1, cfg.san.clip_embed_dim)).astype(np.float32))
+    params = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), imgs, depth, metas, ovw, train=False)
+    out = jax.jit(model.apply, static_argnames=("train",))(
+        params, imgs, depth, metas, ovw, train=False)
+    membership = text_mod.merge_matrix(refl)
+    merged = text_mod.merge_classes_max(out["sem_occ_raw"], membership, axis=-1)
+    pred = fusion_rule(merged, out["bin_occ"])
+    print("selftest ok:", {k: tuple(v.shape) for k, v in out.items()},
+          "pred", pred.shape)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="veon_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--preset", default="veon_b")
+        p.add_argument("--num-temporal", type=int, default=1)
+        p.add_argument("--data-root", default="data/nuscenes")
+        p.add_argument("--ann", default="data/nuscenes/bevdetv2-nuscenes_infos_train.pkl")
+        p.add_argument("--work-dir", default="work_dir")
+        p.add_argument("--batch-size", type=int, default=1)
+        p.add_argument("--workers", type=int, default=2)
+        p.add_argument("--lr", type=float, default=1e-4)
+        p.add_argument("--epochs", type=int, default=24)
+        p.add_argument("--load-from", default=None, help="SAN/VEON semantic .pth")
+        p.add_argument("--depth-load-from", default=None, help="depth .pth")
+        p.add_argument("--depth-cache", default=None)
+        p.add_argument("--ckpt", default=None, help="orbax checkpoint path")
+        p.add_argument("--ema", action="store_true")
+        p.add_argument("--cache-dir", default="data/nuscenes/depth_cache/depth_dav2")
+
+    for name, fn in [("train", cmd_train), ("test", cmd_test),
+                     ("cache-depth", cmd_cache_depth),
+                     ("pretrain-depth", cmd_pretrain_depth),
+                     ("benchmark", cmd_benchmark), ("selftest", cmd_selftest)]:
+        p = sub.add_parser(name)
+        common(p)
+        p.set_defaults(fn=fn)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

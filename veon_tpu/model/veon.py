@@ -104,6 +104,21 @@ class VeonModel(nn.Module):
             d = resize_bilinear(d[..., None], (h2, w2), align_corners=True)[..., 0]
         return _unflatten_cams(d, B, F, N)
 
+    def full_forward(
+        self,
+        imgs: jnp.ndarray,
+        depth_imgs: jnp.ndarray,
+        metas: Dict[str, jnp.ndarray],
+        ov_weight: jnp.ndarray,
+        train: bool = False,
+    ) -> VeonOutputs:
+        """Depth estimation + semantic forward in one graph.
+
+        Matches `veon_temporal.py:139-147`: the depth tower always runs
+        without gradient (frozen in stage 2)."""
+        depth = jax.lax.stop_gradient(self.estimate_depth(depth_imgs))
+        return self(imgs, depth, metas, ov_weight, train=train)
+
     # ------------------------------------------------------------------
     # full semantic forward (san_in_veon_temporal.py:113-218)
     # ------------------------------------------------------------------

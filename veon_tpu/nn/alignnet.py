@@ -203,6 +203,19 @@ class TemporalFusion(nn.Module):
                         dtype=self.dtype, name="t_final")(cat, train)
 
 
+class _Res3DScanBody(nn.Module):
+    features: int
+    bn_axis_name: Optional[str]
+    train: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        blk = ResBlock3D(self.features, bn_axis_name=self.bn_axis_name,
+                         dtype=self.dtype, name="block")
+        return blk(carry, self.train), None
+
+
 class AlignNet3D(nn.Module):
     """The 3D refinement + heads part of AlignNetOcc3D (`:207-265`).
 
@@ -219,13 +232,19 @@ class AlignNet3D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, occ_feat_prevs: Optional[List[jnp.ndarray]] = None,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
-        for idx in range(self.cfg.layer_depth):
-            if idx == 0 and occ_feat_prevs:
-                x = TemporalFusion(self.cfg.dim, seqs=self.cfg.num_temporal - 1,
-                                   bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-                                   name="temporal_fusion")(x, occ_feat_prevs, train)
-            x = ResBlock3D(self.cfg.dim, bn_axis_name=self.bn_axis_name,
-                           dtype=self.dtype, name=f"res3d_{idx}")(x, train)
+        if occ_feat_prevs:
+            # temporal fusion sits before ResBlock 0 (`align_net_occ3d.py:252-259`)
+            x = TemporalFusion(self.cfg.dim, seqs=self.cfg.num_temporal - 1,
+                               bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                               name="temporal_fusion")(x, occ_feat_prevs, train)
+        scan = nn.scan(
+            _Res3DScanBody,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True},
+            length=self.cfg.layer_depth,
+        )(features=self.cfg.dim, bn_axis_name=self.bn_axis_name, train=train,
+          dtype=self.dtype, name="res3d")
+        x, _ = scan(x, None)
         bin_occ = PredHead3DOcc(2, bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                                 name="occupancy_pred")(x, train)
         feat_occ = PredHead3DSem(self.clip_outdim, bn_axis_name=self.bn_axis_name,

@@ -29,13 +29,10 @@ class HSABlock(nn.Module):
     dim: int
     mlp_dim: int
     clip_dim: int
-    pre_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, clip_add, grid_hw: Tuple[int, int]):
-        if self.pre_norm:
-            x = LayerNorm(dtype=self.dtype, name="pre_norm")(x)
         y = LayerNorm(dtype=self.dtype, name="ln_3")(x)
         x = ConvFFNBlock(self.mlp_dim, dtype=self.dtype, name="ff")(y, grid_hw) + x
         if clip_add is not None:
@@ -46,6 +43,20 @@ class HSABlock(nn.Module):
             off = off.reshape(B, grid_hw[0] * grid_hw[1], self.dim)
             x = x + off  # all HSA tokens are patches (no query prefix)
         return LayerNorm(dtype=self.dtype, name="ln_4")(x)
+
+
+class _HSAScanBody(nn.Module):
+    dim: int
+    mlp_dim: int
+    clip_dim: int
+    grid_hw: Tuple[int, int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, clip_add):
+        blk = HSABlock(dim=self.dim, mlp_dim=self.mlp_dim, clip_dim=self.clip_dim,
+                       dtype=self.dtype, name="block")
+        return blk(carry, clip_add, self.grid_hw), None
 
 
 class AttnManipulateBlock(nn.Module):
@@ -108,11 +119,18 @@ class HighresSideAdaptor(nn.Module):
         clip_ref = clip_feats[str(c.fusion_map[0][1])]
         h, w = clip_ref.shape[1:3]
 
-        for i, (_blk, ca_id, add_id) in enumerate(c.fusion_map):
-            x = HSABlock(dim=c.dim, mlp_dim=c.mlp_dim, clip_dim=c.clip_dim,
-                         pre_norm=(i == 0), dtype=self.dtype, name=f"hsa_block_{i}")(
-                x, clip_feats[str(add_id)], (gh, gw)
-            )
+        # pre_norm applies only before block 0 (`highres_side_adaptor.py:262`);
+        # hoisting it lets the identical blocks scan with stacked params.
+        x = LayerNorm(dtype=self.dtype, name="pre_norm")(x)
+        clip_stack = jnp.stack(
+            [clip_feats[str(add_id)] for _blk, _ca, add_id in c.fusion_map], axis=0
+        )
+        scan = nn.scan(
+            _HSAScanBody, variable_axes={"params": 0}, split_rngs={"params": True},
+            in_axes=(0,), length=len(c.fusion_map),
+        )(dim=c.dim, mlp_dim=c.mlp_dim, clip_dim=c.clip_dim, grid_hw=(gh, gw),
+          dtype=self.dtype, name="hsa_blocks")
+        x, _ = scan(x, clip_stack)
 
         attns, supp = AttnManipulateBlock(
             dim=c.dim, mlp_dim=c.mlp_dim, heads=c.num_heads, dim_head=c.manip_dim_head,

@@ -18,9 +18,41 @@ from flax import linen as nn
 from ..configs.base import SANConfig
 from ..ops.resize import resize_bicubic
 from .layers import MLP, AddFusion, LayerNorm
-from .vit import TimmBlock
+from .vit import ScanBlocks, TimmBlock
 
 Dtype = Any
+
+
+class _FusedBlockBody(nn.Module):
+    """Scan body for the fused segment: TimmBlock -> AddFusion of the
+    per-layer CLIP feature into the patch tokens -> pos-embed re-add.
+    Per-layer params (block + fusion) are stacked by nn.scan."""
+
+    heads: int
+    side_width: int
+    num_patches: int
+    spatial: Tuple[int, int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, clip_feat, full_pos):
+        x = TimmBlock(heads=self.heads, dtype=self.dtype, name="block")(carry)
+        L = self.num_patches
+        patches = AddFusion(self.side_width, dtype=self.dtype, name="fusion")(
+            x[:, -L:], clip_feat, self.spatial
+        )
+        x = jnp.concatenate([x[:, :-L], patches], axis=1)
+        return x + full_pos, None
+
+
+class _PlainBlockBody(nn.Module):
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, full_pos):
+        x = TimmBlock(heads=self.heads, dtype=self.dtype, name="block")(carry)
+        return x + full_pos, None
 
 
 class MLPMaskDecoder(nn.Module):
@@ -102,28 +134,44 @@ class SideAdapterNetwork(nn.Module):
         x = x + full_pos
 
         fusion = dict(c.fusion_map)
+        # fusion blocks must be a contiguous prefix {0, 1, .., k} (holds for
+        # all SAN configs: B {0..3} / L {0..3}); lets us scan the body.
+        fuse_idxs = sorted(fusion)
+        assert fuse_idxs == list(range(len(fuse_idxs))), fusion
+        n_fused = len(fuse_idxs) - 1  # blocks 1..k run block+fusion+pos
 
-        def fuse(idx, x):
-            if idx in fusion:
-                clip = clip_feats[str(fusion[idx])]
-                patches = AddFusion(c.side_width, dtype=self.dtype,
-                                    name=f"fusion_layer_{idx}")(x[:, -L:], clip, (h, w))
-                x = jnp.concatenate([x[:, :-L], patches], axis=1)
-            return x
+        # fuse(0): before any block
+        patches = AddFusion(c.side_width, dtype=self.dtype, name="fusion_layer_0")(
+            x[:, -L:], clip_feats[str(fusion[0])], (h, w)
+        )
+        x = jnp.concatenate([x[:, :-L], patches], axis=1)
 
-        x = fuse(0, x)
-        san_feats = []
-        out = None
-        for i in range(1, c.side_depth + 1):
-            x = TimmBlock(heads=c.side_heads, dtype=self.dtype, name=f"blocks_{i - 1}")(x)
-            x = fuse(i, x)
-            if i in c.deep_supervision_idxs:
-                out = (x[:, :-L], x[:, -L:].reshape(B, h, w, c.side_width))
-            san_feats.append(x[:, -L:].reshape(B, h, w, c.side_width))
-            if i < c.side_depth:
-                x = x + full_pos
+        # segment 1: blocks 1..k with per-layer CLIP fusion + pos re-add
+        clip_stack = jnp.stack(
+            [clip_feats[str(fusion[i])] for i in fuse_idxs[1:]], axis=0
+        )
+        fused_scan = nn.scan(
+            _FusedBlockBody, variable_axes={"params": 0},
+            split_rngs={"params": True}, in_axes=(0, nn.broadcast),
+            length=n_fused,
+        )(heads=c.side_heads, side_width=c.side_width, num_patches=L,
+          spatial=(h, w), dtype=self.dtype, name="fused_blocks")
+        x, _ = fused_scan(x, clip_stack, full_pos)
 
-        query, pix = out
+        # segment 2: plain blocks (+pos) up to the second-to-last block
+        n_plain = c.side_depth - n_fused - 1
+        if n_plain > 0:
+            plain_scan = nn.scan(
+                _PlainBlockBody, variable_axes={"params": 0},
+                split_rngs={"params": True}, in_axes=(nn.broadcast,),
+                length=n_plain,
+            )(heads=c.side_heads, dtype=self.dtype, name="plain_blocks")
+            x, _ = plain_scan(x, full_pos)
+
+        # final block (deep-supervision output; no pos re-add after)
+        x = TimmBlock(heads=c.side_heads, dtype=self.dtype, name="last_block")(x)
+        query, pix = x[:, :-L], x[:, -L:].reshape(B, h, w, c.side_width)
+        san_feats = [pix]
         mask_preds, attn_bias = MLPMaskDecoder(
             total_heads=c.attn_bias_heads,
             total_layers=c.attn_bias_layers,

@@ -1,0 +1,118 @@
+"""Epoch-based training/eval loops + depth-cache writer.
+
+Replaces the mmcv EpochBasedRunner + hooks stack (`apis/train.py:180-359`,
+`tools/test.py`, `models/detectors/veon_depth_cache.py`): plain python
+orchestration around jit-compiled steps, per-epoch orbax checkpoints,
+text logging every `log_interval` iters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ckpt.io import find_latest, load_checkpoint, save_checkpoint
+
+
+def _to_device(batch):
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, batch
+    )
+
+
+def train_epochs(
+    state,
+    step_fn,
+    loader,
+    ov_weight,
+    max_epochs: int = 24,
+    start_epoch: int = 0,
+    work_dir: str = "work_dir",
+    log_interval: int = 50,
+    log_fn: Callable[[str], None] = print,
+):
+    """Stage-2 training loop. The loss's priority-ignorance schedule gets the
+    epoch through the batch (the reference injects it via the EMA hook,
+    `core/hook/ema.py:99-103`)."""
+    os.makedirs(work_dir, exist_ok=True)
+    for epoch in range(start_epoch, max_epochs):
+        loader.set_epoch(epoch)
+        t0 = time.perf_counter()
+        for it, batch in enumerate(loader):
+            tokens = batch.pop("token", None)
+            batch.pop("gt_depth", None)
+            batch.pop("mask_lidar", None)
+            batch["ov_weight"] = ov_weight
+            batch["epoch"] = jnp.asarray(epoch, jnp.int32)
+            state, losses = step_fn(state, _to_device(batch))
+            if (it + 1) % log_interval == 0:
+                losses = jax.device_get(losses)
+                dt = (time.perf_counter() - t0) / (it + 1)
+                msg = ", ".join(f"{k}: {float(v):.4f}" for k, v in sorted(losses.items()))
+                log_fn(f"epoch {epoch + 1} iter {it + 1}/{len(loader)} "
+                       f"({dt:.2f}s/iter) {msg}")
+        save_checkpoint(work_dir, int(jax.device_get(state.step)), state)
+        log_fn(f"saved checkpoint for epoch {epoch + 1}")
+    return state
+
+
+def evaluate_occ(
+    predict_fn,
+    loader,
+    ov_weight,
+    log_fn: Callable[[str], None] = print,
+):
+    """Occ3D eval loop (`tools/test.py` + `apis/test.py:12` single_gpu_test):
+    per sample, run the fusion-rule prediction and hand the (X, Y, Z) class
+    grids to dataset.evaluate."""
+    results = []
+    t0 = time.perf_counter()
+    n = 0
+    for batch in loader:
+        batch.pop("token", None)
+        pred = predict_fn(
+            _to_device(batch["imgs"]),
+            _to_device(batch.get("depth_imgs", batch.get("depth_preds"))),
+            _to_device(batch["metas"]),
+            ov_weight,
+        )
+        pred = np.asarray(jax.device_get(pred)).astype(np.uint8)
+        results.extend(list(pred))
+        n += pred.shape[0]
+    dt = time.perf_counter() - t0
+    log_fn(f"inference done: {n} samples in {dt:.1f}s ({n / max(dt, 1e-9):.2f} fps)")
+    return loader.dataset.evaluate(results)
+
+
+def write_depth_cache(
+    depth_fn,
+    loader,
+    cache_dir: str,
+    cam_names,
+    log_fn: Callable[[str], None] = print,
+):
+    """Depth-cache generation (`veon_depth_cache.py:120-168`): one pass over
+    the train set saving per-camera metric depth keyed token-CAM; idempotent
+    (skips existing files, `:153-154`)."""
+    os.makedirs(cache_dir, exist_ok=True)
+    n_saved = 0
+    for batch in loader:
+        tokens = batch["token"]
+        depth = np.asarray(jax.device_get(depth_fn(_to_device(batch["depth_imgs"]))))
+        for bi, token in enumerate(tokens):
+            d = os.path.join(cache_dir, token[:2], token)
+            os.makedirs(d, exist_ok=True)
+            for ci, cam in enumerate(cam_names):
+                path = os.path.join(d, f"{token}-{cam}.npy")
+                if os.path.exists(path):
+                    continue
+                np.save(path, depth[bi, 0, ci])
+                n_saved += 1
+    log_fn(f"depth cache: wrote {n_saved} tensors to {cache_dir}")
+    return n_saved
