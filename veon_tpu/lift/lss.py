@@ -18,7 +18,7 @@ import numpy as np
 
 from ..configs.base import GridConfig
 from ..geometry.frustum import create_frustum, frustum_to_ego, voxel_ranks
-from ..ops.bev_pool import bev_pool
+from ..ops.bev_pool import bev_pool, bev_pool_pallas
 
 
 def min_pool_depth(depth: jnp.ndarray, downsample: int) -> jnp.ndarray:
@@ -106,6 +106,7 @@ class LSSLift:
     downsample: int = 16
     out_channels: int = 256
     ds_feat: Tuple[int, int, int] = (2, 2, 2)  # (z, h, w) output max-pool
+    impl: str = "pallas"  # "pallas" (sorted MXU kernel) | "scan" (XLA scatter)
 
     @property
     def frustum(self) -> np.ndarray:
@@ -135,10 +136,11 @@ class LSSLift:
           (B, Z', Y', X', C) voxel features after the (z,h,w) max-pool
           (Z' = nz/dz etc.), channel-last.
         """
-        frustum = jnp.asarray(self.frustum, dtype=feat.dtype)
+        frustum = jnp.asarray(self.frustum, dtype=jnp.float32)
         coor = frustum_to_ego(frustum, sensor2ego, cam2img, post_rot, post_tran, bda)
         ranks, _ = voxel_ranks(coor, self.grid)
-        vox = bev_pool(depth, feat, ranks, self.grid.size)  # (B, Z, Y, X, C)
+        pool = bev_pool_pallas if self.impl == "pallas" else bev_pool
+        vox = pool(depth, feat, ranks, self.grid.size)  # (B, Z, Y, X, C)
         dz, dh, dw = self.ds_feat
         if (dz, dh, dw) != (1, 1, 1):
             B, Z, Y, X, C = vox.shape

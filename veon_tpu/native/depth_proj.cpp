@@ -1,0 +1,84 @@
+// Native host data plane: LiDAR -> multi-camera depth-map projection.
+//
+// The reference's per-sample hot loop (PointToMultiViewDepth,
+// datasets/pipelines/loading.py:729-835) runs per camera in torch on the
+// dataloader workers; this C++ version does the 4x4 chain, projection,
+// in-range filtering and per-pixel min-depth dedup for all cameras in one
+// pass, called from veon_tpu.data.native via ctypes. The min-depth dedup
+// uses a direct per-pixel min instead of the reference's sort trick —
+// identical results (the sort+first-keep selects the per-pixel minimum).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// points:        (P, 3) float32 lidar xyz
+// lidar2img:     (N, 4, 4) float32 (cam2img @ lidar2cam), row-major
+// post_rot:      (N, 3, 3) float32; post_tran: (N, 3)
+// depth_maps:    (N, H/ds, W/ds) float32 output, pre-zeroed by caller
+// depth range [d_min, d_max); image W, H at full res; downsample ds.
+void veon_points_to_depth(const float* points, int64_t num_points,
+                          const float* lidar2img, const float* post_rot,
+                          const float* post_tran, int num_cams, int height,
+                          int width, int downsample, float d_min, float d_max,
+                          float* depth_maps) {
+  const int oh = height / downsample;
+  const int ow = width / downsample;
+  for (int n = 0; n < num_cams; ++n) {
+    const float* M = lidar2img + n * 16;
+    const float* R = post_rot + n * 9;
+    const float* t = post_tran + n * 3;
+    float* out = depth_maps + (int64_t)n * oh * ow;
+    for (int64_t p = 0; p < num_points; ++p) {
+      const float x = points[p * 3 + 0];
+      const float y = points[p * 3 + 1];
+      const float z = points[p * 3 + 2];
+      const float cx = M[0] * x + M[1] * y + M[2] * z + M[3];
+      const float cy = M[4] * x + M[5] * y + M[6] * z + M[7];
+      const float cz = M[8] * x + M[9] * y + M[10] * z + M[11];
+      if (cz == 0.0f) continue;
+      const float u0 = cx / cz;
+      const float v0 = cy / cz;
+      // image-aug homography (2D rot/scale embedded in 3x3 + translation)
+      const float u = R[0] * u0 + R[1] * v0 + R[2] * cz + t[0];
+      const float v = R[3] * u0 + R[4] * v0 + R[5] * cz + t[1];
+      const float d = R[6] * u0 + R[7] * v0 + R[8] * cz + t[2];
+      if (d < d_min || d >= d_max) continue;
+      const float cu = std::round(u / downsample);
+      const float cv = std::round(v / downsample);
+      if (cu < 0.0f || cu >= (float)ow || cv < 0.0f || cv >= (float)oh)
+        continue;
+      const int64_t idx = (int64_t)cv * ow + (int64_t)cu;
+      float* cell = out + idx;
+      if (*cell == 0.0f || d < *cell) *cell = d;
+    }
+  }
+}
+
+// Voxel-rank precompute for the LSS "accelerate" mode
+// (view_transformer_raw.py:304-332): map ego-frame frustum points to flat
+// voxel ranks with the overflow convention of geometry.frustum.voxel_ranks.
+void veon_voxel_ranks(const float* coor, int64_t num_points, const float* lb,
+                      const float* interval, int nx, int ny, int nz,
+                      int batch_stride, int32_t* ranks) {
+  const int32_t overflow = nx * ny * nz;  // per-batch overflow handled by caller
+  (void)batch_stride;
+  for (int64_t p = 0; p < num_points; ++p) {
+    const float sx = (coor[p * 3 + 0] - lb[0]) / interval[0];
+    const float sy = (coor[p * 3 + 1] - lb[1]) / interval[1];
+    const float sz = (coor[p * 3 + 2] - lb[2]) / interval[2];
+    const int32_t vx = (int32_t)sx;
+    const int32_t vy = (int32_t)sy;
+    const int32_t vz = (int32_t)sz;
+    if (sx < 0.0f || vx >= nx || sy < 0.0f || vy >= ny || sz < 0.0f ||
+        vz >= nz) {
+      ranks[p] = overflow;
+    } else {
+      ranks[p] = (vz * ny + vy) * nx + vx;
+    }
+  }
+}
+
+}  // extern "C"
