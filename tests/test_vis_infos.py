@@ -1,0 +1,94 @@
+"""Visualization + info-generation tests (synthetic nuScenes JSON tables)."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+
+from veon_tpu.utils.vis import (camera_grid, colorize_depth, denormalize_clipsan,
+                                vis_occ_bev, vis_occ_height_slices)
+from veon_tpu.data.create_infos import create_infos
+from veon_tpu.data.transforms import normalize_clipsan
+
+
+def test_colorize_depth_range():
+    d = np.linspace(1, 40, 12).reshape(3, 4)
+    img = colorize_depth(d)
+    assert img.shape == (3, 4, 3) and img.dtype == np.uint8
+    assert not np.array_equal(img[0, 0], img[-1, -1])
+
+
+def test_vis_occ_bev_topmost_class():
+    occ = np.full((4, 4, 3), 17, dtype=np.int64)
+    occ[1, 2, 0] = 4   # car at z=0
+    occ[1, 2, 2] = 7   # pedestrian above -> wins
+    img = vis_occ_bev(occ)
+    assert img.shape == (4, 4, 3)
+    np.testing.assert_array_equal(img[2, 1], [255, 0, 0])  # pedestrian color
+    np.testing.assert_array_equal(img[0, 0], [255, 255, 255])  # free
+
+    strip = vis_occ_height_slices(occ)
+    assert strip.shape == (4, 12, 3)
+
+
+def test_camera_grid_and_denorm_roundtrip():
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 255, size=(8, 10, 3), dtype=np.uint8)
+    norm = normalize_clipsan(raw)
+    rec = denormalize_clipsan(norm)
+    np.testing.assert_allclose(rec, raw, atol=1)
+    grid = camera_grid([raw] * 6, cols=3)
+    assert grid.shape == (16, 30, 3)
+
+
+def _write_tables(root, version="v1.0-mini"):
+    os.makedirs(os.path.join(root, version), exist_ok=True)
+
+    def dump(name, rows):
+        with open(os.path.join(root, version, f"{name}.json"), "w") as f:
+            json.dump(rows, f)
+
+    cams = ["CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
+            "CAM_BACK_LEFT", "CAM_BACK", "CAM_BACK_RIGHT"]
+    sensors = [{"token": f"sen_{c}", "channel": c, "modality": "camera"} for c in cams]
+    sensors.append({"token": "sen_LIDAR", "channel": "LIDAR_TOP", "modality": "lidar"})
+    dump("sensor", sensors)
+    calibs = [{"token": f"cal_{c}", "sensor_token": f"sen_{c}",
+               "rotation": [1, 0, 0, 0], "translation": [0, 0, 1.5],
+               "camera_intrinsic": [[100, 0, 80], [0, 100, 45], [0, 0, 1]]}
+              for c in cams]
+    calibs.append({"token": "cal_LIDAR", "sensor_token": "sen_LIDAR",
+                   "rotation": [1, 0, 0, 0], "translation": [0, 0, 1.8],
+                   "camera_intrinsic": []})
+    dump("calibrated_sensor", calibs)
+    dump("ego_pose", [{"token": f"ep{i}", "rotation": [1, 0, 0, 0],
+                       "translation": [i * 1.0, 0, 0], "timestamp": i} for i in range(4)])
+    dump("scene", [{"token": "sceneA", "name": "scene-0001"},
+                   {"token": "sceneB", "name": "scene-0002"}])
+    samples = [{"token": f"s{i}", "timestamp": i * 10,
+                "scene_token": "sceneA" if i < 1 else "sceneB"} for i in range(2)]
+    dump("sample", samples)
+    sds = []
+    for i in range(2):
+        sds.append({"token": f"sd_l{i}", "sample_token": f"s{i}", "is_key_frame": True,
+                    "calibrated_sensor_token": "cal_LIDAR", "ego_pose_token": f"ep{i}",
+                    "filename": f"samples/LIDAR_TOP/l{i}.bin", "timestamp": i * 10})
+        for c in cams:
+            sds.append({"token": f"sd_{c}{i}", "sample_token": f"s{i}", "is_key_frame": True,
+                        "calibrated_sensor_token": f"cal_{c}", "ego_pose_token": f"ep{i}",
+                        "filename": f"samples/{c}/img{i}.jpg", "timestamp": i * 10})
+    dump("sample_data", sds)
+
+
+def test_create_infos_from_raw_tables(tmp_path):
+    root = str(tmp_path)
+    _write_tables(root)
+    infos = create_infos(root, version="v1.0-mini",
+                         val_scene_names=["scene-0002"])
+    assert len(infos["train"]) == 1 and len(infos["val"]) == 1
+    info = infos["train"][0]
+    assert set(info["cams"]) == {"CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
+                                 "CAM_BACK_LEFT", "CAM_BACK", "CAM_BACK_RIGHT"}
+    assert info["lidar2ego_translation"] == [0, 0, 1.8]
+    assert info["occ_path"].endswith(os.path.join("gts", "scene-0001", "s0"))

@@ -44,12 +44,13 @@ def san_vit_l_14_336() -> SANConfig:
     )
 
 
-def veon_b(num_temporal: int = 1) -> VeonConfig:
+def veon_b(num_temporal: int = 1, compute_dtype: str = "float32") -> VeonConfig:
     """VEON-B @ 512x1408 with DepthAnythingV2-L depth.
 
     Mirrors configs/veon/veon-temporal-base-512x1408-dav2-nodepthcache.py.
     """
     return VeonConfig(
+        compute_dtype=compute_dtype,
         san=san_vit_b_16(),
         hsa=HSAConfig(clip_dim=768, num_heads=12, fusion_map=((0, 3, 3), (1, 6, 6), (2, 9, 9))),
         propagation=PropagationConfig(

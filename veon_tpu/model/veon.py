@@ -55,7 +55,10 @@ class VeonModel(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.depth_model = DepthAnythingV2(cfg=c.depth, dtype=self.dtype, name="depth")
+        # compute precision: params stay fp32; bf16 flows through matmuls/
+        # convs with fp32 softmax/LN/BN internals (see nn modules)
+        dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else self.dtype
+        self.depth_model = DepthAnythingV2(cfg=c.depth, dtype=dt, name="depth")
         # layers actually consumed downstream: side-adapter fusion sources,
         # HSA cross/add sources, and the rec-head entry layer
         save_layers = tuple(sorted(
@@ -68,20 +71,20 @@ class VeonModel(nn.Module):
             width=c.san.clip_width, heads=c.san.clip_heads,
             num_layers=c.san.feature_last_layer_idx, patch_size=c.san.clip_patch_size,
             pretrain_grid=c.san.clip_pretrain_grid, save_layers=save_layers,
-            dtype=self.dtype, name="clip_visual",
+            dtype=dt, name="clip_visual",
         )
-        self.side_adapter = SideAdapterNetwork(cfg=c.san, dtype=self.dtype, name="side_adapter")
+        self.side_adapter = SideAdapterNetwork(cfg=c.san, dtype=dt, name="side_adapter")
         self.rec_head = CLIPRecHead(
             width=c.san.clip_width, heads=c.san.clip_heads,
             first_layer_idx=c.san.feature_last_layer_idx, total_layers=c.san.clip_layers,
             out_dim=c.san.clip_embed_dim, sos_token_num=c.san.num_queries,
-            downsample_method=c.san.rec_downsample_method, dtype=self.dtype, name="rec_head",
+            downsample_method=c.san.rec_downsample_method, dtype=dt, name="rec_head",
         )
-        self.hsa = HighresSideAdaptor(cfg=c.hsa, dtype=self.dtype, name="hsa")
+        self.hsa = HighresSideAdaptor(cfg=c.hsa, dtype=dt, name="hsa")
         self.lift_fusion = LiftFusion(cfg=c.propagation, fusion_type=c.propagation.fusion_type,
-                                      dtype=self.dtype, name="lift_fusion")
+                                      dtype=dt, name="lift_fusion")
         self.alignnet = AlignNet3D(cfg=c.propagation, clip_outdim=c.propagation.clip_proj_dim,
-                                   bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                                   bn_axis_name=self.bn_axis_name, dtype=dt,
                                    name="alignnet")
         self.lift = LSSLift(
             grid=c.grid, input_size=c.data.input_size, downsample=c.lss_downsample,
@@ -212,7 +215,7 @@ class VeonModel(nn.Module):
             frame_flat(mask_logits, 0), frame_flat(mask_embs, 0), frame_flat(mask_preds, 0)
         )
 
-        return {
+        out = {
             "sem_seg_ds": sem_seg_ds.reshape((B, N) + sem_seg_ds.shape[1:]),
             "sem_embed_ds": sem_embed_ds.reshape((B, N) + sem_embed_ds.shape[1:]),
             "clip_feat": feats_0["clip_feat_proj"].reshape((B, N) + feats_0["clip_feat_proj"].shape[1:]),
@@ -220,6 +223,8 @@ class VeonModel(nn.Module):
             "feat_occ": feat_occ,
             "sem_occ_raw": sem_occ_raw,
         }
+        # outputs in fp32 regardless of compute dtype (eval/losses stability)
+        return {k: v.astype(jnp.float32) for k, v in out.items()}
 
     @staticmethod
     def semantic_inference_2d(mask_logits, mask_embs, mask_preds):
