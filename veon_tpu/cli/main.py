@@ -120,6 +120,8 @@ def cmd_train(args):
 
 
 def cmd_test(args):
+    if getattr(args, "retrieval", False):
+        return cmd_test_retrieval(args)
     import jax
     import jax.numpy as jnp
 
@@ -165,6 +167,79 @@ def cmd_test(args):
                         drop_last=False)
     res = evaluate_occ(predict, loader, ovw)
     print(json.dumps(res, indent=2))
+
+
+def cmd_test_retrieval(args):
+    """POP-3D free-text retrieval evaluation (`tools/test.py` with the
+    retrieval config + `veon_temporal.py:331-356`): per sample, cosine of
+    voxel CLIP features against the prompt's text embedding, scored as AP
+    over annotated points + the camera-visible subset."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.loader import DataLoader
+    from ..data.nuscenes import NuScenesRetrievalDataset, load_infos
+    from ..eval.retrieval import retrieval_scores
+    from ..model.veon import VeonModel
+    from ..nn import text as text_mod
+    from ..nn.vit import CLIPTextEncoder
+
+    cfg = _build_cfg(args)
+    model, variables, ovw, refl = _build_model_and_params(
+        cfg, san_ckpt=args.load_from, depth_ckpt=args.depth_load_from
+    )
+    # text tower for free-text prompts (random init if no checkpoint)
+    enc = CLIPTextEncoder(
+        width=cfg.san.text_width, heads=cfg.san.text_heads,
+        num_layers=cfg.san.text_layers, out_dim=cfg.san.clip_embed_dim,
+        vocab_size=cfg.san.text_vocab_size,
+        context_length=cfg.san.text_context_length,
+    )
+    tok = text_mod.ClipTokenizer(getattr(args, "bpe_path", None))
+    text_params = jax.jit(enc.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, cfg.san.text_context_length), jnp.int32)
+    )
+
+    import functools
+
+    @functools.partial(jax.jit)
+    def feats_fn(variables, imgs, depth_imgs, metas, ovw):
+        out = model.apply(variables, imgs, depth_imgs, metas, ovw, train=False,
+                          method=VeonModel.full_forward)
+        # (B, Z, Y, X, C) -> (B, X, Y, Z, C) to match GT voxel indexing
+        return out["feat_occ"].transpose(0, 3, 2, 1, 4)
+
+    with open(args.retrieval_items) as f:
+        items = _json.load(f)
+    ds = NuScenesRetrievalDataset(
+        infos=load_infos(args.ann), data_cfg=cfg.data, grid=cfg.grid,
+        num_temporal=cfg.num_temporal, is_train=False, data_root=args.data_root,
+        load_lidar_depth=False, load_occ_gt=False,
+    )
+    ds.filter_to_retrieval(items)
+    loader = DataLoader(ds, batch_size=1, shuffle=False, num_workers=args.workers,
+                        drop_last=False)
+    results = []
+    from ..train.loop import _to_device
+
+    for batch in loader:
+        prompt = batch["retrieval_prompt"][0]
+        emb = enc.apply(text_params, jnp.asarray(tok.tokenize([prompt])))[0]
+        feat = feats_fn(variables, _to_device(batch["imgs"]),
+                        _to_device(batch["depth_imgs"]),
+                        _to_device(batch["metas"]), ovw)
+        r = retrieval_scores(
+            np.asarray(jax.device_get(feat))[0], np.asarray(jax.device_get(emb)),
+            batch["points_indices"][0], batch["matching_points"][0],
+            batch["retrieval_anno"][0],
+        )
+        print(prompt, r)
+        results.append(r)
+    summary = ds.evaluate_retrieval(results)
+    print(json.dumps(summary, indent=2))
+    return summary
 
 
 def cmd_cache_depth(args):
@@ -307,6 +382,12 @@ def main(argv=None):
         p.add_argument("--ckpt", default=None, help="orbax checkpoint path")
         p.add_argument("--ema", action="store_true")
         p.add_argument("--cache-dir", default="data/nuscenes/depth_cache/depth_dav2")
+        p.add_argument("--retrieval", action="store_true",
+                       help="POP-3D retrieval eval instead of Occ3D mIoU")
+        p.add_argument("--retrieval-items", default=None,
+                       help="json list of {token, prompt, anno_file, points_file}")
+        p.add_argument("--bpe-path", default=None,
+                       help="CLIP bpe_simple_vocab_16e6.txt.gz for exact tokenization")
 
     for name, fn in [("train", cmd_train), ("test", cmd_test),
                      ("cache-depth", cmd_cache_depth),

@@ -26,6 +26,22 @@ def _to_device(batch):
     )
 
 
+def _truncate_temporal(batch):
+    """Use only the current frame (the SequentialControlHook equivalent,
+    `core/hook/sequentialcontrol.py:9-27`: with_prev stays False until the
+    configured epoch)."""
+    out = dict(batch)
+    for k in ("imgs", "depth_imgs", "depth_preds"):
+        if k in out:
+            out[k] = out[k][:, :1]
+    metas = dict(out["metas"])
+    for k in ("sensor2egos", "ego2globals", "intrins", "post_rots", "post_trans"):
+        metas[k] = metas[k][:, :1]
+    metas["prev_lidarego2global"] = metas["prev_lidarego2global"][:, :1] * 0 + np.eye(4, dtype=np.float32)
+    out["metas"] = metas
+    return out
+
+
 def train_epochs(
     state,
     step_fn,
@@ -35,11 +51,13 @@ def train_epochs(
     start_epoch: int = 0,
     work_dir: str = "work_dir",
     log_interval: int = 50,
+    temporal_start_epoch: int = 0,
     log_fn: Callable[[str], None] = print,
 ):
     """Stage-2 training loop. The loss's priority-ignorance schedule gets the
     epoch through the batch (the reference injects it via the EMA hook,
-    `core/hook/ema.py:99-103`)."""
+    `core/hook/ema.py:99-103`); previous frames engage at
+    `temporal_start_epoch` (SequentialControlHook)."""
     os.makedirs(work_dir, exist_ok=True)
     for epoch in range(start_epoch, max_epochs):
         loader.set_epoch(epoch)
@@ -48,6 +66,8 @@ def train_epochs(
             tokens = batch.pop("token", None)
             batch.pop("gt_depth", None)
             batch.pop("mask_lidar", None)
+            if epoch < temporal_start_epoch:
+                batch = _truncate_temporal(batch)
             batch["ov_weight"] = ov_weight
             batch["epoch"] = jnp.asarray(epoch, jnp.int32)
             state, losses = step_fn(state, _to_device(batch))

@@ -268,6 +268,61 @@ def occupancy_loss(
 
 
 # --------------------------------------------------------------------------
+# auxiliary scene-completion losses (occ3d_nuscenes.py:81-148; present in the
+# reference as available-but-unused options of OccLossFB)
+# --------------------------------------------------------------------------
+
+
+def geo_scal_loss(pred_logits, target, free_idx: int = 17, ignore_idx: int = 255):
+    """Geometric scene-completion affinity loss (geo_scal_loss, :81-110):
+    precision/recall/specificity BCE on the 'non-free' probability.
+
+    pred_logits: (B, X, Y, Z, C) class logits; target: (B, X, Y, Z) ints.
+    """
+    probs = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)
+    empty = probs[..., free_idx]
+    nonempty = 1.0 - empty
+    mask = (target != ignore_idx).astype(jnp.float32)
+    gt_nonempty = ((target != free_idx) & (target != ignore_idx)).astype(jnp.float32)
+    eps = 1e-6
+    inter = jnp.sum(nonempty * gt_nonempty * mask)
+    precision = inter / jnp.maximum(jnp.sum(nonempty * mask), eps)
+    recall = inter / jnp.maximum(jnp.sum(gt_nonempty), eps)
+    spec = jnp.sum(empty * (1 - gt_nonempty) * mask) / jnp.maximum(
+        jnp.sum((1 - gt_nonempty) * mask), eps
+    )
+    return (
+        -jnp.log(jnp.clip(precision, eps, 1.0))
+        - jnp.log(jnp.clip(recall, eps, 1.0))
+        - jnp.log(jnp.clip(spec, eps, 1.0))
+    )
+
+
+def sem_scal_loss(pred_logits, target, ignore_idx: int = 255):
+    """Semantic scene-completion affinity loss (sem_scal_loss, :111-148):
+    per-class precision+recall BCE averaged over classes present."""
+    C = pred_logits.shape[-1]
+    probs = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)
+    mask = (target != ignore_idx).astype(jnp.float32)
+    eps = 1e-6
+    total = 0.0
+    count = 0.0
+    for c in range(C):
+        p = probs[..., c] * mask
+        gt_c = ((target == c).astype(jnp.float32)) * mask
+        present = (jnp.sum(gt_c) > 0).astype(jnp.float32)
+        inter = jnp.sum(p * gt_c)
+        precision = inter / jnp.maximum(jnp.sum(p), eps)
+        recall = inter / jnp.maximum(jnp.sum(gt_c), eps)
+        loss_c = -jnp.log(jnp.clip(precision, eps, 1.0)) - jnp.log(
+            jnp.clip(recall, eps, 1.0)
+        )
+        total = total + loss_c * present
+        count = count + present
+    return total / jnp.maximum(count, 1.0)
+
+
+# --------------------------------------------------------------------------
 # stage-1 depth losses (view_transformer_raw.py:498-535)
 # --------------------------------------------------------------------------
 

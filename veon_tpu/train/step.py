@@ -141,8 +141,20 @@ def make_train_step(
 
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
+        # depth source priority: precomputed metric depth ("depth" from the
+        # dryrun / "depth_preds" from the disk cache) else run the frozen
+        # depth tower on "depth_imgs" (veon_temporal.py:139-144)
+        if "depth" in batch:
+            depth = batch["depth"]
+        elif "depth_preds" in batch:
+            depth = batch["depth_preds"]
+        else:
+            depth = jax.lax.stop_gradient(
+                model.apply(variables, batch["depth_imgs"],
+                            method=type(model).estimate_depth)
+            )
         outputs, mutated = model.apply(
-            variables, batch["imgs"], batch["depth"], batch["metas"],
+            variables, batch["imgs"], depth, batch["metas"],
             batch["ov_weight"], train=True, mutable=["batch_stats"],
         )
         losses = occupancy_loss(
@@ -181,26 +193,29 @@ def make_train_step(
 
     from jax.experimental.shard_map import shard_map
 
-    batch_specs = {
-        "imgs": P("batch"),
-        "depth": P("batch"),
-        "metas": {
-            "sensor2egos": P("batch"), "ego2globals": P("batch"),
-            "intrins": P("batch"), "post_rots": P("batch"),
-            "post_trans": P("batch"), "bda": P("batch"),
-            "lidarego2global": P("batch"), "prev_lidarego2global": P("batch"),
-            "cam2camego": P("batch"), "camego2global": P("batch"),
-        },
-        "voxel_semantics": P("batch"),
-        "mask_camera": P("batch"),
-        "ov_weight": P(),
-        "epoch": P(),
-    }
-    state_spec = P()  # replicated params/optimizer
-    sharded = shard_map(
-        step, mesh=mesh,
-        in_specs=(state_spec, batch_specs),
-        out_specs=(state_spec, P()),
-        check_rep=False,
-    )
-    return jax.jit(sharded, donate_argnums=(0,))
+    REPLICATED_KEYS = ("ov_weight", "epoch")
+
+    def batch_specs(batch):
+        """Batch-sharded leaves except globally-replicated scalars/weights."""
+
+        def spec(path, _leaf):
+            top = path[0].key if hasattr(path[0], "key") else str(path[0])
+            return P() if top in REPLICATED_KEYS else P("batch")
+
+        return jax.tree_util.tree_map_with_path(spec, batch)
+
+    cache = {}
+
+    def sharded_step(state, batch):
+        key = jax.tree_util.tree_structure(batch)
+        if key not in cache:
+            sm = shard_map(
+                step, mesh=mesh,
+                in_specs=(P(), batch_specs(batch)),
+                out_specs=(P(), P()),
+                check_rep=False,
+            )
+            cache[key] = jax.jit(sm, donate_argnums=(0,))
+        return cache[key](state, batch)
+
+    return sharded_step
