@@ -187,6 +187,35 @@ class DepthConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ZoeConfig:
+    """ZoeDepth-NK on MiDaS DPT-BEiT-L-384 (configs/veon/...zoe-*.py
+    depth_estimator + zoedepth_nk_v1.py defaults)."""
+
+    # BEiT-L/16-384 trunk
+    width: int = 1024
+    depth: int = 24
+    heads: int = 16
+    patch_size: int = 16
+    hooks: Tuple[int, int, int, int] = (5, 11, 17, 23)
+    pyramid_channels: Tuple[int, int, int, int] = (256, 512, 1024, 1024)
+    features: int = 256
+    # metric bins head (kitti-only in the VEON adaptor)
+    n_bins: int = 64
+    min_depth: float = 1e-3
+    max_depth: float = 80.0
+    bin_embedding_dim: int = 128
+    n_attractors: Tuple[int, int, int, int] = (16, 8, 4, 1)
+    attractor_alpha: float = 1000.0
+    attractor_gamma: int = 2
+    attractor_kind: str = "mean"
+    attractor_type: str = "inv"
+    min_temp: float = 0.0212
+    max_temp: float = 50.0
+    use_lora: bool = True
+    lora_r: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
 class LossConfig:
     """Stage-2 occupancy loss weights (semantic_net/loss/occ_loss.py:47-89)."""
 
@@ -219,6 +248,7 @@ class DataConfig:
     )
     num_cams: int = 6
     input_size: Tuple[int, int] = (512, 1408)
+    depth_norm_method: str = "depthanythingv2"  # or "midas" for the zoe branch
     depth_input_size: Tuple[int, int] = (256, 704)
     src_size: Tuple[int, int] = (900, 1600)
     # augmentation ranges (disabled by default, matching the VEON configs)
@@ -239,6 +269,8 @@ class VeonConfig:
     hsa: HSAConfig = HSAConfig()
     propagation: PropagationConfig = PropagationConfig()
     depth: DepthConfig = DepthConfig()
+    zoe: ZoeConfig = ZoeConfig()
+    depth_mode: str = "depthanythingv2"  # or "zoedepth" (V14 branch)
     loss: LossConfig = LossConfig()
 
     num_classes: int = 18

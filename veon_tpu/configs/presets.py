@@ -86,6 +86,27 @@ def veon_l(num_temporal: int = 1) -> VeonConfig:
     )
 
 
+def veon_b_zoe(num_temporal: int = 1, compute_dtype: str = "float32") -> VeonConfig:
+    """VEON-B with the ZoeDepth-NK (MiDaS BEiT-L-384) depth branch
+    (configs/veon/veon-temporal-base-512x1408-zoe-nodepthcache.py)."""
+    cfg = veon_b(num_temporal=num_temporal, compute_dtype=compute_dtype)
+    return dataclasses.replace(
+        cfg,
+        depth_mode="zoedepth",
+        data=dataclasses.replace(cfg.data, depth_norm_method="midas"),
+    )
+
+
+def veon_l_zoe(num_temporal: int = 1) -> VeonConfig:
+    """VEON-L with the ZoeDepth-NK depth branch."""
+    cfg = veon_l(num_temporal=num_temporal)
+    return dataclasses.replace(
+        cfg,
+        depth_mode="zoedepth",
+        data=dataclasses.replace(cfg.data, depth_norm_method="midas"),
+    )
+
+
 def veon_tiny_test(num_temporal: int = 1) -> VeonConfig:
     """A miniature config for unit tests: same topology, tiny dims/resolution."""
     return VeonConfig(

@@ -58,7 +58,12 @@ class VeonModel(nn.Module):
         # compute precision: params stay fp32; bf16 flows through matmuls/
         # convs with fp32 softmax/LN/BN internals (see nn modules)
         dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else self.dtype
-        self.depth_model = DepthAnythingV2(cfg=c.depth, dtype=dt, name="depth")
+        if c.depth_mode == "zoedepth":
+            from ..nn.zoedepth import ZoeDepthNK
+
+            self.depth_model = ZoeDepthNK(cfg=c.zoe, dtype=dt, name="depth")
+        else:
+            self.depth_model = DepthAnythingV2(cfg=c.depth, dtype=dt, name="depth")
         # layers actually consumed downstream: side-adapter fusion sources,
         # HSA cross/add sources, and the rec-head entry layer
         save_layers = tuple(sorted(
