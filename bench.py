@@ -1,10 +1,12 @@
 """Benchmark: VEON-B 6-camera frames/sec/chip, full inference graph.
 
 Protocol mirrors the reference FPS harness (`tools/analysis_tools/
-benchmark.py:73-96`: fps = n / sum(pure inference time) with warmup), adapted
-for the tunneled TPU backend on this box: `block_until_ready` does not block
-here, so timing forces a scalar host readback per iteration and we subtract
-the measured null round-trip. Prints ONE JSON line.
+benchmark.py:73-96`: fps = n / sum(pure inference time) with warmup), made
+robust to this box's tunneled backend: the host<->device round trip is both
+slow (~25 ms) and variable (up to ~50 ms), so the timed loop runs ON DEVICE
+— a lax.scan over N full forwards with per-iteration input perturbation
+(defeats loop-invariant hoisting/CSE) and a single scalar readback.
+Prints ONE JSON line.
 
 Baseline: BASELINE.json north star = 25 six-camera frames/sec/chip on v5e.
 """
@@ -16,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+N_ITERS = 10
+
 
 def main():
     import jax
@@ -24,32 +28,36 @@ def main():
     from __graft_entry__ import entry
 
     fn, args = entry()
+    params, imgs, depth_imgs, metas, ovw = args
+    eps = jnp.linspace(0.0, 1e-3, N_ITERS)
 
-    step = jax.jit(lambda *a: fn(*a).sum())
+    @jax.jit
+    def many(params, imgs, depth_imgs, metas, ovw):
+        def body(c, e):
+            out = fn(params, imgs + e, depth_imgs + e, metas, ovw)
+            return c + out.sum(), None
 
-    # warmup / compile
+        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), eps)
+        return c
+
+    @jax.jit
+    def once(params, imgs, depth_imgs, metas, ovw):
+        return fn(params, imgs, depth_imgs, metas, ovw).sum()
+
     t0 = time.perf_counter()
-    float(step(*args))
+    float(once(params, imgs, depth_imgs, metas, ovw))
     compile_s = time.perf_counter() - t0
+    float(many(params, imgs, depth_imgs, metas, ovw))  # compile scan variant
+
+    # timed: K outer calls of the N-iteration device loop; per-frame time is
+    # the median outer time divided by N (tunnel cost amortized to <10%)
+    times = []
     for _ in range(3):
-        float(step(*args))
-
-    # measure null round-trip to subtract tunnel/dispatch overhead
-    null = jax.jit(lambda x: x.sum())
-    x0 = jnp.ones((8, 8))
-    float(null(x0))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        float(null(x0))
-    null_s = (time.perf_counter() - t0) / 10
-
-    n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        float(step(*args))
-    total = time.perf_counter() - t0
-    per_iter = max(total / n - null_s, 1e-9)
-    fps = 1.0 / per_iter
+        t0 = time.perf_counter()
+        float(many(params, imgs, depth_imgs, metas, ovw))
+        times.append(time.perf_counter() - t0)
+    per_frame = sorted(times)[1] / N_ITERS
+    fps = 1.0 / per_frame
 
     print(json.dumps({
         "metric": "veon_b_6cam_frames_per_sec_per_chip",
@@ -57,8 +65,8 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / 25.0, 4),
         "detail": {
-            "ms_per_frame": round(per_iter * 1e3, 2),
-            "null_roundtrip_ms": round(null_s * 1e3, 2),
+            "ms_per_frame": round(per_frame * 1e3, 2),
+            "device_loop_iters": N_ITERS,
             "compile_s": round(compile_s, 1),
         },
     }))

@@ -196,3 +196,22 @@ def test_lss_lift_ds_maxpool_shape():
     vox = lift(feat, depth, jnp.asarray(s2e), jnp.asarray(K), jnp.asarray(post_rot),
                jnp.asarray(post_tran), jnp.asarray(bda))
     assert vox.shape == (B, 2, 4, 4, 3)
+
+
+def test_absolute_depth_and_sid():
+    from veon_tpu.lift.lss import absolute_depth_from_bins, sid_depth_values
+    from veon_tpu.geometry.frustum import create_frustum
+
+    bins = jnp.zeros((2, 10)).at[:, 3].set(0.6).at[:, 4].set(0.4)
+    avg, hard = absolute_depth_from_bins(bins, GRID)
+    # centers: k*1 + (1 - 0.5) = k + 0.5
+    np.testing.assert_allclose(np.asarray(avg), 0.6 * 3.5 + 0.4 * 4.5, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(hard), 3.5, rtol=1e-6)
+
+    sid = sid_depth_values(GRID)
+    assert sid.shape == (8,)
+    np.testing.assert_allclose(sid[0], GRID.depth[0], rtol=1e-5)
+    np.testing.assert_allclose(sid[-1], GRID.depth[1] - 1.0, rtol=1e-5)
+    assert np.all(np.diff(sid) > 0) and np.diff(sid)[-1] > np.diff(sid)[0]
+    fr = create_frustum(GRID, (16, 16), 4, sid=True)
+    np.testing.assert_allclose(fr[:, 0, 0, 2], sid, rtol=1e-6)

@@ -256,3 +256,10 @@ def test_lora_dense_zero_init_is_identity_delta():
     full = mod.apply(params, x)
     # lora_B initialized to zero -> identical
     np.testing.assert_allclose(np.asarray(base_only), np.asarray(full))
+
+
+def test_vocabulary_variants():
+    p, r = text_mod.build_vocabulary("nuscenes_default")
+    assert max(r) == 16 and "in detail" in p[0]
+    p2, r2 = text_mod.build_vocabulary("semkitti_brief")
+    assert max(r2) == 19 and p2[0] == "unlabeled"

@@ -21,20 +21,26 @@ from ..configs.base import GridConfig
 
 
 def create_frustum(
-    grid: GridConfig, input_size: Tuple[int, int], downsample: int
+    grid: GridConfig, input_size: Tuple[int, int], downsample: int,
+    sid: bool = False,
 ) -> np.ndarray:
     """Frustum template in augmented-image pixel space.
 
-    Matches `view_transformer_raw.py:91-119` (sid=False): returns a
-    (D, Hf, Wf, 3) array of (x_pix, y_pix, depth_m) per frustum point,
-    where x spans [0, W_in-1] over Wf samples and depth spans the bin
-    lower edges `arange(d0, d1, dd)`.
+    Matches `view_transformer_raw.py:91-119`: returns a (D, Hf, Wf, 3)
+    array of (x_pix, y_pix, depth_m) per frustum point, where x spans
+    [0, W_in-1] over Wf samples and depth spans the bin lower edges
+    `arange(d0, d1, dd)` — or the Spacing-Increasing Discretization
+    planes when sid=True (:107-112).
     Computed on host once (numpy) — it is a compile-time constant.
     """
     h_in, w_in = input_size
     hf, wf = h_in // downsample, w_in // downsample
     d = np.arange(grid.depth[0], grid.depth[1], grid.depth[2], dtype=np.float32)
     D = d.shape[0]
+    if sid:
+        from ..lift.lss import sid_depth_values
+
+        d = sid_depth_values(grid)
     xs = np.linspace(0, w_in - 1, wf, dtype=np.float32)
     ys = np.linspace(0, h_in - 1, hf, dtype=np.float32)
     frustum = np.empty((D, hf, wf, 3), dtype=np.float32)

@@ -33,6 +33,27 @@ def min_pool_depth(depth: jnp.ndarray, downsample: int) -> jnp.ndarray:
     return jnp.min(d, axis=(-3, -1))
 
 
+def absolute_depth_from_bins(bins: jnp.ndarray, grid: GridConfig):
+    """Bin distribution -> (expected, hard-argmax) metric depth
+    (`view_transformer_raw.py:376-391` get_absolute_depth). bins: (..., K)
+    with centers arange(K)*dd + (d0 - dd/2)."""
+    centers = jnp.arange(bins.shape[-1], dtype=bins.dtype) * grid.depth[2] + (
+        grid.depth[0] - grid.depth[2] / 2
+    )
+    avg = jnp.sum(bins * centers, axis=-1)
+    hard = jnp.eye(bins.shape[-1], dtype=bins.dtype)[jnp.argmax(bins, axis=-1)]
+    return avg, jnp.sum(hard * centers, axis=-1)
+
+
+def sid_depth_values(grid: GridConfig) -> np.ndarray:
+    """Spacing-Increasing Discretization plane depths (sid=True,
+    `view_transformer_raw.py:107-112`)."""
+    D = grid.num_depth_bins
+    d0, d1, _ = grid.depth
+    i = np.arange(D, dtype=np.float64)
+    return np.exp(np.log(d0) + i / (D - 1) * np.log((d1 - 1.0) / d0)).astype(np.float32)
+
+
 def _bin_centers(grid: GridConfig, num: int, dtype=jnp.float32) -> jnp.ndarray:
     """num bin centers: arange(num)*dd + (d0 + dd/2) — `view_transformer_raw.py:417-418`."""
     d0, _, dd = grid.depth

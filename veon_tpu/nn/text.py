@@ -60,6 +60,73 @@ NUSCENES_BRIEF: List[Tuple[str, List[str]]] = [
     ("vegetation", ["vegetation", "plants", "bushes", "tree"]),
 ]
 
+# Detailed nuScenes taxonomy ("nuscenes_default"): per-item official
+# annotator-instruction descriptions (nuScenes devkit taxonomy; reference
+# vocabulary/nuscenes_vol.py NUSCENES_CLASSES). Prompts become
+# "<name>, in detail '<description>'".
+NUSCENES_DETAILED: List[Tuple[str, List[Tuple[str, ...]]]] = [
+    ("others", [
+        ("animal", "All animals, e.g. cats, rats, dogs, deer, birds."),
+        ("personal mobility", "A small electric or self-propelled vehicle, e.g. skateboard, segway, or scooters, on which the person typically travels in a upright position."),
+        ("stroller", "Any stroller."),
+        ("wheelchair", "Any type of wheelchair."),
+        ("debris", "Debris or movable object that is too large to be driven over safely. Includes misc. things like trash bags, temporary road-signs, objects around construction zones, and trash cans."),
+        ("pushable pullable objects", "Objects that a pedestrian may push or pull. For example dolleys, wheel barrows, garbage-bins with wheels, or shopping carts. Typically not designed to carry humans."),
+        ("bicycle rack", "Area or device intended to park or secure the bicycles in a row. It includes all the bicycles parked in it and any empty slots that are intended for parking bicycles. Bicycles that are not part of the rack should not be included."),
+        ("ambulance vehicle", "All types of ambulances."),
+        ("police vehicle", "All types of police vehicles including police bicycles and motorcycles."),
+        ("ego vehicle", "The vehicle on which the cameras, radar and lidar are mounted, that is sometimes visible at the bottom of the image."),
+    ]),
+    ("barrier", [("traffic barrier", "Any metal, concrete or water barrier temporarily placed in the scene in order to re-direct vehicle or pedestrian traffic. In particular, includes barriers used at construction zones.")]),
+    ("bicycle", [("bicycle", "Human or electric powered 2-wheeled vehicle designed to travel at lower speeds either on road surface, sidewalks or bicycle paths.")]),
+    ("bus", [("bus", "Any types of buses and shuttles designed to carry more than 10 people.")]),
+    ("car", [("car", "Vehicle designed primarily for personal use, e.g. sedans, hatch-backs, wagons, vans, mini-vans, SUVs and jeeps.")]),
+    ("construction_vehicle", [("construction_vehicle", "Vehicles primarily designed for construction. Typically very slow moving or stationary. Cranes and extremities of construction vehicles are only included in annotations if they interfere with traffic. Trucks used to hauling rocks or building materials are considered trucks rather than construction vehicles.")]),
+    ("motorcycle", [("motorcycle", "Gasoline or electric powered 2-wheeled vehicle designed to move rapidly (at the speed of standard cars) on the road surface. This category includes all motorcycles, vespas and scooters. It also includes light 3-wheel vehicles, often with a light plastic roof and open on the sides, that tend to be common in Asia.")]),
+    ("pedestrian", [
+        ("pedestrian", "A pedestrian moving around the cityscape."),
+        ("construction worker", "A human in the scene whose main purpose is construction work."),
+        ("police_officer", "Any type of police officer, regardless whether directing the traffic or not."),
+    ]),
+    ("traffic_cone", [("traffic_cone", "All types of traffic cones.")]),
+    ("trailer", [("trailer", "Any vehicle trailer, both for trucks, cars and motorcycles (regardless of whether currently being towed or not).")]),
+    ("truck", [("truck", "Vehicles primarily designed to haul cargo including pick-ups, lorrys, trucks and semi-tractors.")]),
+    ("driveable surface", [("driveable surface", "All paved or unpaved surfaces that a car can drive on with no concern of traffic rules.")]),
+    ("other flat", [("other flat", "All other forms of horizontal ground-level structures that do not belong to any of driveable surface, curb, sidewalk and terrain. Includes elevated parts of traffic islands, delimiters, rail tracks, stairs with at most 3 steps and larger bodies of water (lakes, rivers).")]),
+    ("sidewalk", [("sidewalk", "Sidewalk, pedestrian walkways, bike paths, etc. Part of the ground designated for pedestrians or cyclists. Sidewalks do not have to be next to a road.")]),
+    ("terrain", [("terrain", "Natural horizontal surfaces such as ground level horizontal vegetation (< 20 cm tall), grass, rolling hills, soil, sand and gravel.")]),
+    ("manmade", [("manmade", "Includes man-made structures but not limited to: buildings, walls, guard rails, fences, poles, drainages, hydrants, flags, banners, street signs, electric circuit boxes, traffic lights, parking meters and stairs with more than 3 steps.")]),
+    ("vegetation", [("vegetation", "Any vegetation in the frame that is higher than the ground, including bushes, plants, potted plants, trees, etc. Only tall grass (> 20cm) is part of this")]),
+]
+
+# SemanticKITTI 20-class vocabulary with synonyms ("semkitti_brief";
+# reference vocabulary/semkitti_vol.py). Note: class 0 is "unlabeled"; the
+# reference moves the merged free class to index 0 at merge time.
+SEMKITTI_BRIEF: List[Tuple[str, List[str]]] = [
+    ("unlabeled", ["unlabeled"]),
+    ("car", ["car"]),
+    ("bicycle", ["bicycle"]),
+    ("motorcycle", ["motorcycle"]),
+    ("truck", ["truck"]),
+    ("other-vehicle", ["bus", "sedan", "wagon", "van", "mini-van", "jeep",
+                       "construction vehicle"]),
+    ("person", ["pedestrian", "construction worker", "police officer"]),
+    ("bicyclist", ["bicyclist"]),
+    ("motorcyclist", ["motorcyclist"]),
+    ("road", ["road"]),
+    ("parking", ["parking"]),
+    ("sidewalk", ["sidewalk", "bike path"]),
+    ("other-ground", ["traffic delimiter", "traffic island", "rail track",
+                      "lake", "river"]),
+    ("building", ["building", "wall", "stairs"]),
+    ("fence", ["fence", "guard rail"]),
+    ("vegetation", ["vegetation", "plants", "bushes", "tree"]),
+    ("trunk", ["trunk"]),
+    ("terrain", ["grass", "rolling hill", "soil", "sand", "gravel"]),
+    ("pole", ["pole"]),
+    ("traffic-sign", ["traffic sign"]),
+]
+
 # The "vild" prompt-template ensemble (clip_utils/utils.py:90-107).
 VILD_TEMPLATES = [
     "a photo of a {}.",
@@ -129,14 +196,28 @@ def build_vocabulary(name: str = "nuscenes_brief") -> Tuple[List[str], List[int]
     class_reflection[i] = semantic-class index of prompt i
     (`san_in_veon_entry_temporal.py:243-262`).
     """
-    if name not in ("nuscenes_brief", "nuscenes_default"):
-        raise ValueError(f"unknown vocabulary {name!r}")
     prompts: List[str] = []
     reflection: List[int] = []
-    for cls_id, (_cat, items) in enumerate(NUSCENES_BRIEF):
-        for it in items:
-            prompts.append(it.lower().strip())
-            reflection.append(cls_id)
+    if name == "nuscenes_brief":
+        for cls_id, (_cat, items) in enumerate(NUSCENES_BRIEF):
+            for it in items:
+                prompts.append(it.lower().strip())
+                reflection.append(cls_id)
+    elif name == "nuscenes_default":
+        # detailed prompts: "<name>, in detail '<description>'"
+        # (`san_in_veon_entry_temporal.py:252-254`)
+        for cls_id, (_cat, items) in enumerate(NUSCENES_DETAILED):
+            for it in items:
+                text = it[0] if len(it) == 1 else f"{it[0]}, in detail '{it[1]}'"
+                prompts.append(text.lower().strip())
+                reflection.append(cls_id)
+    elif name == "semkitti_brief":
+        for cls_id, (_cat, items) in enumerate(SEMKITTI_BRIEF):
+            for it in items:
+                prompts.append(it.lower().strip())
+                reflection.append(cls_id)
+    else:
+        raise ValueError(f"unknown vocabulary {name!r}")
     return prompts, reflection
 
 
