@@ -260,3 +260,20 @@ def test_conv_bn3d_eval_parity():
         jnp.asarray(x), train=False,
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_merge_lora_equivalence():
+    """Folded-LoRA params through a lora_r=0 module == LoRA module output."""
+    from veon_tpu.ckpt.convert import merge_lora
+    from veon_tpu.nn.layers import LoRADense
+
+    x = jnp.asarray(RNG.standard_normal((3, 6)).astype(np.float32))
+    mod = LoRADense(4, lora_r=2, lora_alpha=1.0)
+    params = mod.init(KEY, x)["params"]
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(RNG.standard_normal(a.shape).astype(np.float32)), params)
+    want = mod.apply({"params": params}, x)
+    folded = merge_lora(jax.tree_util.tree_map(np.asarray, {"d": params}))["d"]
+    mod0 = LoRADense(4, lora_r=0)
+    got = mod0.apply({"params": jax.tree_util.tree_map(jnp.asarray, folded)}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)

@@ -114,8 +114,8 @@ def test_clip_rec_head_and_update_remaining():
     sos = head.apply(p2, feats, bias)
     assert sos.shape == (1, 5, 12)
     np.testing.assert_allclose(np.asarray(jnp.linalg.norm(sos, axis=-1)), 1.0, rtol=1e-5)
-    # dense-bias re-run: attns (num_blocks, B, H, L, L), L = 4*6
-    attns = _r(2, 1, 2, 24, 24)
+    # factorized-bias re-run: factors (num_blocks, B, L, heads, dh), L = 4*6
+    attns = _r(2, 1, 24, 2, 4)
     feats2 = head.apply(p2, feats, attns, method=CLIPRecHead.update_remaining)
     assert feats2["4"].shape == (1, 4, 6, 16)
     assert feats2["clip_feat_proj"].shape == (1, 4, 6, 12)
@@ -143,8 +143,9 @@ def test_hsa_shapes():
     clip_feats = {str(i): _r(1, 2, 5, cfg.clip_dim) for i in range(10)}
     params = hsa.init(KEY, img, clip_feats)
     attns, supp = hsa.apply(params, img, clip_feats)
-    # HSA grid 64/8 x 176/8 = 8 x 22; clip grid 2x5 -> L = 10
-    assert attns.shape == (cfg.manip_attn_layers, 1, cfg.num_heads, 10, 10)
+    # HSA grid 64/8 x 176/8 = 8 x 22; clip grid 2x5 -> L = 10; factors
+    assert attns.shape == (cfg.manip_attn_layers, 1, 10, cfg.num_heads,
+                           cfg.manip_dim_head)
     assert supp.shape == (1, 8, 22, cfg.manip_supp_dim)
 
 
@@ -263,3 +264,15 @@ def test_vocabulary_variants():
     assert max(r) == 16 and "in detail" in p[0]
     p2, r2 = text_mod.build_vocabulary("semkitti_brief")
     assert max(r2) == 19 and p2[0] == "unlabeled"
+
+
+def test_augmented_qk_equals_dense_bias():
+    """softmax([q*s, f] @ [k, f]^T) must equal softmax(q*s @ k^T + f f^T)."""
+    mod = FusedQKVAttention(num_heads=2)
+    x = _r(2, 7, 8)
+    f = _r(2, 7, 2, 4)  # (B, L, heads, dh)
+    params = mod.init(KEY, x)
+    got = mod.apply(params, x, extra_qk=f)
+    dense = jnp.einsum("bmhd,bnhd->bhmn", f, f)
+    want = mod.apply(params, x, bias=dense)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)

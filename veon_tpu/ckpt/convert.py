@@ -526,6 +526,27 @@ def convert_san_semantic(sd: SD, cfg: VeonConfig) -> Tuple[Dict, Dict, Dict]:
     return params, stats, extras
 
 
+def merge_lora(params: Dict, lora_alpha: float = 1.0) -> Dict:
+    """Fold LoRA adapters into base kernels for inference: W' = W + s*A@B
+    with s = alpha/r — mathematically identical to the adapter forward
+    (lora_layers.py merge_weights semantics), removing the extra matmuls.
+    Returns a tree matching the lora_r=0 module layout."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "base" in node and "lora_A" in node:
+                a = np.asarray(node["lora_A"])
+                b = np.asarray(node["lora_B"])
+                r = a.shape[-1]
+                base = dict(node["base"])
+                base["kernel"] = np.asarray(base["kernel"]) + (lora_alpha / r) * (a @ b)
+                return {"base": base}
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
 def _rec_head_offsets(sd: SD, prefix: str) -> SD:
     """Rec-head checkpoints index resblocks from the ORIGINAL layer number
     (clip_rec_head.resblocks holds layers K..total under indices 0..n-1 in

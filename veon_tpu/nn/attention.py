@@ -104,9 +104,9 @@ class FusedQKVAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, bias=None, mode: str = "self", mem=None):
+    def __call__(self, x, bias=None, mode: str = "self", mem=None, extra_qk=None):
         if mode == "self":
-            return self._self_attn(x, bias)
+            return self._self_attn(x, bias, extra_qk)
         return self._cross_with_self_bias(x, mem, bias)
 
     def _projections(self, E):
@@ -114,12 +114,14 @@ class FusedQKVAttention(nn.Module):
         out_proj = nn.Dense(E, dtype=self.dtype, name="out_proj")
         return in_proj, out_proj
 
-    def _self_attn(self, x, bias):
+    def _self_attn(self, x, bias, extra_qk=None):
         E = x.shape[-1]
         # a fully-degenerate (1,1,1,1) bias is the scan-body "no bias"
         # sentinel (zeros broadcast); drop it so the flash path can engage
         if bias is not None and all(s == 1 for s in bias.shape):
             bias = None
+        if extra_qk is not None and all(s == 1 for s in extra_qk.shape):
+            extra_qk = None
         in_proj, out_proj = self._projections(E)
         qkv = in_proj(x)
         q, k, v = (
@@ -127,8 +129,21 @@ class FusedQKVAttention(nn.Module):
             _split_heads(qkv[..., E : 2 * E], self.num_heads),
             _split_heads(qkv[..., 2 * E :], self.num_heads),
         )
-        out = _merge_heads(dot_product_attention(q, k, v, bias=bias))
-        return out_proj(out)
+        if extra_qk is not None:
+            # factorized additive attention bias f@f^T fused as extra qk
+            # channels: softmax(q*s @ k^T + f@f^T) == softmax([q*s, f] @
+            # [k, f]^T). Replaces the dense (Lq, Lk) HSA bias
+            # (`visual.py:258-285` + `highres_side_adaptor.py:182`).
+            f = extra_qk.transpose(0, 2, 1, 3).astype(q.dtype)  # (B,H,L,Df)
+            scale = (E // self.num_heads) ** -0.5
+            q_aug = jnp.concatenate([q * scale, f], axis=-1)
+            k_aug = jnp.concatenate([k, f], axis=-1)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q_aug, k_aug)
+            w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+        else:
+            out = dot_product_attention(q, k, v, bias=bias)
+        return out_proj(_merge_heads(out))
 
     def _cross_with_self_bias(self, query, mem, bias):
         """query: (B, K, C) sos tokens; mem: (B, L, C); bias: (B, H, K, L)."""

@@ -89,10 +89,13 @@ class AttnManipulateBlock(nn.Module):
         attns = attns.reshape(B, H, W, -1)
         attns = resize_bilinear(attns, (h, w), align_corners=False)
         attns = attns.reshape(B, h * w, self.attn_layers, self.heads, self.dim_head)
-        # factorized bias: bias[a, b, head, m, n] = <attns[b,m,a,head,:], attns[b,n,a,head,:]>
-        attns = jnp.einsum("bmahd,bnahd->abhmn", attns, attns)
+        # return the bias FACTORS (A, B, L, heads, dh); the dense bias is
+        # bias[a,b,head,m,n] = <f[b,m,a,head,:], f[b,n,a,head,:]>
+        # (`highres_side_adaptor.py:182`) and is fused into the deep-CLIP
+        # attention as augmented qk channels instead of being materialized
+        factors = attns.transpose(2, 0, 1, 3, 4)
         supp = supp.reshape(B, H, W, self.supp_dim)
-        return attns, supp
+        return factors, supp
 
 
 class HighresSideAdaptor(nn.Module):

@@ -108,7 +108,8 @@ class CLIPBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_mask=None, mode: str = "self", mem=None):
+    def __call__(self, x, attn_mask=None, mode: str = "self", mem=None,
+                 extra_qk=None):
         E = x.shape[-1]
         ln_1 = LayerNorm(eps=1e-5, dtype=self.dtype, name="ln_1")
         attn = FusedQKVAttention(num_heads=self.heads, dtype=self.dtype, name="attn")
@@ -116,7 +117,7 @@ class CLIPBlock(nn.Module):
         mlp = TransformerMLP(hidden_dim=int(E * self.mlp_ratio), act=quick_gelu,
                              dtype=self.dtype, name="mlp")
         if mode == "self":
-            x = x + attn(ln_1(x), bias=attn_mask)
+            x = x + attn(ln_1(x), bias=attn_mask, extra_qk=extra_qk)
             return x + mlp(ln_2(x))
         # cross: x are sos tokens, mem the patch tokens, attn_mask the bias
         q_x = ln_1(x)
@@ -205,18 +206,20 @@ def format_attn_biases(
 class _RecScanBody(nn.Module):
     """One deep-CLIP layer doing BOTH the sos cross-attention and the patch
     self-attention with one shared block (reference interleaves them:
-    `visual.py:183-195`). cross_bias is broadcast over layers; self_bias is
-    per-layer (zeros in rec mode, dense HSA bias in update mode)."""
+    `visual.py:183-195`). cross_bias is broadcast over layers; extra_qk is
+    per-layer: zeros sentinel in rec mode, the HSA bias factors in update
+    mode (fused into the attention as augmented qk channels — exactly the
+    dense f@f^T bias of `visual.py:258-285` without materializing it)."""
 
     heads: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, cross_bias, self_bias):
+    def __call__(self, carry, cross_bias, extra_qk):
         sos, x = carry
         blk = CLIPBlock(heads=self.heads, dtype=self.dtype, name="block")
         new_sos = blk(sos, attn_mask=cross_bias, mode="cross", mem=x[:, 1:])
-        new_x = blk(x, attn_mask=self_bias)
+        new_x = blk(x, extra_qk=extra_qk)
         return (new_sos, new_x), new_x
 
 
@@ -255,13 +258,13 @@ class CLIPRecHead(nn.Module):
             "proj_kernel", nn.initializers.normal(0.02), (self.width, self.out_dim), jnp.float32
         )
 
-    def _run(self, feats, cross_bias, self_bias_stacked, sos):
+    def _run(self, feats, cross_bias, extra_qk_stacked, sos):
         k = self.first_layer_idx
         cls = feats[f"{k}_cls"]
         pix = feats[str(k)]
         B, h, w, C = pix.shape
         x = jnp.concatenate([cls, pix.reshape(B, h * w, C)], axis=1)
-        (sos, x), xs = self.scan((sos, x), cross_bias, self_bias_stacked)
+        (sos, x), xs = self.scan((sos, x), cross_bias, extra_qk_stacked)
         return sos, xs, (B, h, w, C)
 
     def __call__(self, feats: Dict[str, jnp.ndarray], attn_bias: jnp.ndarray,
@@ -284,9 +287,13 @@ class CLIPRecHead(nn.Module):
         return sos
 
     def update_remaining(self, feats: Dict[str, jnp.ndarray],
-                         attns: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
-        """Re-run the deep trunk with dense HSA attention biases
-        (`visual.py:258-285`). attns: (num_layers>=n, B, H, L, L) or None.
+                         attn_factors: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+        """Re-run the deep trunk with the HSA attention bias
+        (`visual.py:258-285`), supplied in factorized form:
+        attn_factors (num_layers>=n, B, L, heads, dh) with the dense bias
+        being f@f^T per layer/head. The factors fuse into the attention as
+        augmented qk channels; the cls row/col bias is zero (a zero factor
+        row), matching build_attn_bias (visual.py:280-285).
         Returns feats + layers k+1..total and "clip_feat_proj" (B, h, w, out_dim).
         """
         k = self.first_layer_idx
@@ -294,14 +301,14 @@ class CLIPRecHead(nn.Module):
         B, h, w, C = pix.shape
         L = h * w
         cls = feats[f"{k}_cls"]
-        if attns is not None:
-            a = attns[: self.num_blocks]
-            dense = jnp.zeros(a.shape[:3] + (L + 1, L + 1), a.dtype)
-            dense = dense.at[:, :, :, 1:, 1:].set(a)
+        if attn_factors is not None:
+            f = attn_factors[: self.num_blocks]
+            # zero factor row for the cls token
+            f = jnp.pad(f, ((0, 0), (0, 0), (1, 0), (0, 0), (0, 0)))
         else:
-            dense = jnp.zeros((self.num_blocks, 1, 1, 1, 1), jnp.float32)
+            f = jnp.zeros((self.num_blocks, 1, 1, 1, 1), jnp.float32)
         zero_cross = jnp.zeros((1, 1, 1, 1), jnp.float32)
-        _, xs, _ = self._run(feats, zero_cross, dense, cls)  # dummy 1-token sos
+        _, xs, _ = self._run(feats, zero_cross, f, cls)  # dummy 1-token sos
         feats = dict(feats)
         for i in range(self.num_blocks):
             idx = k + i + 1
