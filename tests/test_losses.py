@@ -238,3 +238,41 @@ def test_occupancy_loss_keys_and_grad():
     assert set(d) == {"loss_binocc", "loss_featalign_det", "loss_featalign_soft"}
     assert np.isfinite(float(val))
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_depth_bce_loss_prefers_correct():
+    rng = np.random.default_rng(3)
+    gt = np.zeros((1, 2, 16, 16), np.float32)
+    gt[0, :, ::2, ::2] = 3.3
+    from veon_tpu.lift.lss import two_hot_depth, min_pool_depth
+
+    good_bins = two_hot_depth(jnp.asarray(np.full((1, 2, 4, 4), 3.3, np.float32)), GRID)
+    bad_bins = two_hot_depth(jnp.asarray(np.full((1, 2, 4, 4), 7.7, np.float32)), GRID)
+    lg = float(L.depth_bce_loss(good_bins, jnp.asarray(gt), GRID, downsample=4))
+    lb = float(L.depth_bce_loss(bad_bins, jnp.asarray(gt), GRID, downsample=4))
+    assert lg < lb
+
+
+def test_lss_precomputed_ranks_match():
+    from veon_tpu.lift.lss import LSSLift, two_hot_depth
+
+    lift = LSSLift(grid=GRID, input_size=(16, 16), downsample=4, out_channels=3,
+                   ds_feat=(1, 1, 1), impl="scan")
+    rng = np.random.default_rng(9)
+    B, N = 1, 2
+    s2e = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1)))
+    K = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
+    K[..., 0, 0] = K[..., 1, 1] = 10.0
+    K[..., 0, 2] = 8.0
+    K[..., 1, 2] = 4.0
+    K = jnp.asarray(K)
+    pr = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1)))
+    pt = jnp.zeros((B, N, 3))
+    bda = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (B, 1, 1)))
+    feat = jnp.asarray(rng.standard_normal((B, N, 4, 4, 3)).astype(np.float32))
+    depth = two_hot_depth(
+        jnp.asarray(rng.uniform(1, 8, size=(B, N, 4, 4)).astype(np.float32)), GRID)
+    a = lift(feat, depth, s2e, K, pr, pt, bda)
+    ranks = lift.precompute_ranks(s2e, K, pr, pt, bda)
+    b = lift(feat, depth, s2e, K, pr, pt, bda, ranks=ranks)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))

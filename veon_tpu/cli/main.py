@@ -111,12 +111,24 @@ def cmd_train(args):
     labels = trainable_mask(variables["params"], stage2_trainable)
     tx = make_optimizer(lr=args.lr, labels=labels)
     state = create_train_state(model, variables, tx)
+    start_epoch = 0
+    if args.auto_resume:
+        from ..ckpt.io import find_latest, load_checkpoint
+
+        latest = find_latest(args.work_dir)
+        if latest is not None:
+            state = load_checkpoint(latest, target=state)
+            start_epoch = int(np.asarray(state.step)) // max(len(
+                NuScenesOccDataset(infos=load_infos(args.ann), data_cfg=cfg.data,
+                                   grid=cfg.grid)) // args.batch_size, 1)
+            print(f"auto-resumed from {latest} (epoch ~{start_epoch})")
     devices = jax.devices()
     mesh = Mesh(np.asarray(devices), ("batch",)) if len(devices) > 1 else None
     membership = text_mod.merge_matrix(refl)
     step = make_train_step(model, tx, cfg, membership, mesh=mesh)
     train_epochs(state, step, loader, ovw, max_epochs=args.epochs,
-                 work_dir=args.work_dir)
+                 start_epoch=start_epoch, work_dir=args.work_dir,
+                 temporal_start_epoch=args.temporal_start_epoch)
 
 
 def cmd_test(args):
@@ -388,6 +400,10 @@ def main(argv=None):
                        help="json list of {token, prompt, anno_file, points_file}")
         p.add_argument("--bpe-path", default=None,
                        help="CLIP bpe_simple_vocab_16e6.txt.gz for exact tokenization")
+        p.add_argument("--auto-resume", action="store_true",
+                       help="resume from the latest checkpoint in --work-dir")
+        p.add_argument("--temporal-start-epoch", type=int, default=0,
+                       help="epoch at which previous frames engage (SequentialControlHook)")
 
     for name, fn in [("train", cmd_train), ("test", cmd_test),
                      ("cache-depth", cmd_cache_depth),

@@ -129,6 +129,16 @@ class LSSLift:
     ds_feat: Tuple[int, int, int] = (2, 2, 2)  # (z, h, w) output max-pool
     impl: str = "pallas"  # "pallas" (sorted MXU kernel) | "scan" (XLA scatter)
 
+    def precompute_ranks(self, sensor2ego, cam2img, post_rot, post_tran, bda):
+        """The "accelerate" mode (`view_transformer_raw.py:196-215, 304-332`):
+        when intrinsics/extrinsics are constant, compute voxel ranks once and
+        reuse them via `__call__(..., ranks=...)`. Also available host-side
+        through veon_tpu.data.native.voxel_ranks_native."""
+        frustum = jnp.asarray(self.frustum, dtype=jnp.float32)
+        coor = frustum_to_ego(frustum, sensor2ego, cam2img, post_rot, post_tran, bda)
+        ranks, _ = voxel_ranks(coor, self.grid)
+        return ranks
+
     @property
     def frustum(self) -> np.ndarray:
         return create_frustum(self.grid, self.input_size, self.downsample)
@@ -146,6 +156,7 @@ class LSSLift:
         post_rot: jnp.ndarray,
         post_tran: jnp.ndarray,
         bda: jnp.ndarray,
+        ranks: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Args:
           feat: (B, N, h, w, C) context features (channel-last).
@@ -157,9 +168,8 @@ class LSSLift:
           (B, Z', Y', X', C) voxel features after the (z,h,w) max-pool
           (Z' = nz/dz etc.), channel-last.
         """
-        frustum = jnp.asarray(self.frustum, dtype=jnp.float32)
-        coor = frustum_to_ego(frustum, sensor2ego, cam2img, post_rot, post_tran, bda)
-        ranks, _ = voxel_ranks(coor, self.grid)
+        if ranks is None:
+            ranks = self.precompute_ranks(sensor2ego, cam2img, post_rot, post_tran, bda)
         pool = bev_pool_pallas if self.impl == "pallas" else bev_pool
         vox = pool(depth, feat, ranks, self.grid.size)  # (B, Z, Y, X, C)
         dz, dh, dw = self.ds_feat

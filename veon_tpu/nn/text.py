@@ -127,6 +127,41 @@ SEMKITTI_BRIEF: List[Tuple[str, List[str]]] = [
     ("traffic-sign", ["traffic sign"]),
 ]
 
+# Standard COCO-Stuff-171 label set ("coco_default"; one class per prompt —
+# `san_in_veon_entry_temporal.py:264-271` appends them with identity
+# class_reflection).
+COCO_STUFF_171 = [
+    "person", "bicycle", "car", "motorcycle", "airplane", "bus", "train",
+    "truck", "boat", "traffic light", "fire hydrant", "stop sign",
+    "parking meter", "bench", "bird", "cat", "dog", "horse", "sheep", "cow",
+    "elephant", "bear", "zebra", "giraffe", "backpack", "umbrella",
+    "handbag", "tie", "suitcase", "frisbee", "skis", "snowboard",
+    "sports ball", "kite", "baseball bat", "baseball glove", "skateboard",
+    "surfboard", "tennis racket", "bottle", "wine glass", "cup", "fork",
+    "knife", "spoon", "bowl", "banana", "apple", "sandwich", "orange",
+    "broccoli", "carrot", "hot dog", "pizza", "donut", "cake", "chair",
+    "couch", "potted plant", "bed", "dining table", "toilet", "tv",
+    "laptop", "mouse", "remote", "keyboard", "cell phone", "microwave",
+    "oven", "toaster", "sink", "refrigerator", "book", "clock", "vase",
+    "scissors", "teddy bear", "hair drier", "toothbrush", "banner",
+    "blanket", "branch", "bridge", "building-other", "bush", "cabinet",
+    "cage", "cardboard", "carpet", "ceiling-other", "ceiling-tile", "cloth",
+    "clothes", "clouds", "counter", "cupboard", "curtain", "desk-stuff",
+    "dirt", "door-stuff", "fence", "floor-marble", "floor-other",
+    "floor-stone", "floor-tile", "floor-wood", "flower", "fog",
+    "food-other", "fruit", "furniture-other", "grass", "gravel",
+    "ground-other", "hill", "house", "leaves", "light", "mat", "metal",
+    "mirror-stuff", "moss", "mountain", "mud", "napkin", "net", "paper",
+    "pavement", "pillow", "plant-other", "plastic", "platform",
+    "playingfield", "railing", "railroad", "river", "road", "rock", "roof",
+    "rug", "salad", "sand", "sea", "shelf", "sky-other", "skyscraper",
+    "snow", "solid-other", "stairs", "stone", "straw", "structural-other",
+    "table", "tent", "textile-other", "towel", "tree", "vegetable",
+    "wall-brick", "wall-concrete", "wall-other", "wall-panel", "wall-stone",
+    "wall-tile", "wall-wood", "water-other", "waterdrops", "window-blind",
+    "window-other", "wood",
+]
+
 # The "vild" prompt-template ensemble (clip_utils/utils.py:90-107).
 VILD_TEMPLATES = [
     "a photo of a {}.",
@@ -216,6 +251,9 @@ def build_vocabulary(name: str = "nuscenes_brief") -> Tuple[List[str], List[int]
             for it in items:
                 prompts.append(it.lower().strip())
                 reflection.append(cls_id)
+    elif name == "coco_default":
+        prompts = [c.lower().strip() for c in COCO_STUFF_171]
+        reflection = list(range(len(prompts)))
     else:
         raise ValueError(f"unknown vocabulary {name!r}")
     return prompts, reflection

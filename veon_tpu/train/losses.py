@@ -355,6 +355,23 @@ def depth_bin_ce_loss(pred_depth: jnp.ndarray, gt_depth: jnp.ndarray, grid: Grid
     return jnp.sum(bce.sum(-1) * fg) / jnp.maximum(jnp.sum(fg), 1.0)
 
 
+def depth_bce_loss(pred_bins, gt_depth, grid: GridConfig, downsample: int,
+                   weight: float = 0.05):
+    """The legacy bin-BCE depth loss (`view_transformer_raw.py:479-495`
+    get_depth_loss): downsampled one-hot GT vs predicted bin PROBABILITIES,
+    summed BCE over foreground pixels, scaled by loss_depth_weight."""
+    from ..lift.lss import depth_bins_one_hot_gt
+
+    D = grid.num_depth_bins
+    labels = depth_bins_one_hot_gt(gt_depth, grid, downsample).reshape(-1, D)
+    p = jnp.moveaxis(pred_bins, -3, -1).reshape(-1, D)
+    fg = (jnp.max(labels, axis=-1) > 0.0).astype(jnp.float32)
+    eps = 1e-12
+    p32 = jnp.clip(p.astype(jnp.float32), eps, 1 - eps)
+    bce = -(labels * jnp.log(p32) + (1 - labels) * jnp.log1p(-p32))
+    return weight * jnp.sum(bce.sum(-1) * fg) / jnp.maximum(jnp.sum(fg), 1.0)
+
+
 def depth_pretrain_loss(pred_depth, gt_depth, grid: GridConfig, cfg: LossConfig):
     """Stage-1 loss dict (`veon_depth_pretrain.py:91-147` + get_depth_loss_own)."""
     return {
