@@ -34,6 +34,36 @@ def test_bce_bin_occ_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_ce_sem_occ_matches_torch():
+    torch = pytest.importorskip("torch")
+    B, X, Y, Z, C = 2, 4, 4, 2, 18
+    logits = RNG.standard_normal((B, X, Y, Z, C)).astype(np.float32)
+    vs = RNG.integers(0, C, size=(B, X, Y, Z))
+    vs[0, 0, 0, 0] = 255  # ignore
+    got = float(L.ce_sem_occ_loss(jnp.asarray(logits), jnp.asarray(vs)))
+    w = L.balanced_class_weights(C)
+    crit = torch.nn.CrossEntropyLoss(weight=torch.from_numpy(w), ignore_index=255)
+    want = float(crit(
+        torch.from_numpy(logits).permute(0, 4, 1, 2, 3), torch.from_numpy(vs.astype(np.int64))
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_pixel_align_2d_loss():
+    B, N, H, W, P, D = 1, 2, 4, 6, 5, 8
+    ov = RNG.standard_normal((P + 1, D)).astype(np.float32)
+    seg = RNG.standard_normal((B, N, H, W, P)).astype(np.float32)
+    # clip_feat exactly equal to the argmax-class embedding -> loss == 0
+    idx = seg.argmax(-1)
+    clip_feat = ov[:-1][idx]
+    got = float(L.pixel_align_2d_loss(jnp.asarray(seg), jnp.asarray(clip_feat), jnp.asarray(ov)))
+    np.testing.assert_allclose(got, 0.0, atol=1e-5)
+    # orthogonal embeddings -> strictly positive; nearest-resize path covered
+    clip_small = jnp.asarray(RNG.standard_normal((B, N, 2, 3, D)).astype(np.float32))
+    got2 = float(L.pixel_align_2d_loss(jnp.asarray(seg), clip_small, jnp.asarray(ov)))
+    assert got2 > 0.1
+
+
 def test_silog_matches_formula():
     torch = pytest.importorskip("torch")
     pred = RNG.uniform(0.5, 50, size=(100,)).astype(np.float32)

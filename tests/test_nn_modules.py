@@ -121,6 +121,49 @@ def test_clip_rec_head_and_update_remaining():
     assert feats2["clip_feat_proj"].shape == (1, 4, 6, 12)
 
 
+def test_clip_rec_head_self_attn_mode():
+    """REC_CROSS_ATTN=False (`visual.py:196-202, 240-253`): joint
+    [sos, cls, pixels] self-attn sequence under the dense mask. The param
+    tree must match cross mode (same checkpoint loads either way)."""
+    from veon_tpu.nn.vit import rec_self_attn_mask
+
+    extractor = CLIPVisualExtractor(width=16, heads=2, num_layers=2, patch_size=4,
+                                    pretrain_grid=(2, 2))
+    img = _r(1, 16, 24, 3)
+    feats = extractor.apply(extractor.init(KEY, img), img)
+    kw = dict(width=16, heads=2, first_layer_idx=2, total_layers=4,
+              out_dim=12, sos_token_num=5)
+    head_x = CLIPRecHead(**kw, cross_attn=True)
+    head_s = CLIPRecHead(**kw, cross_attn=False)
+    bias = _r(1, 2, 5, 8, 12)
+    params = head_x.init(KEY, feats, bias)
+    p_self = head_s.init(KEY, feats, bias)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p_self)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p_self)):
+        assert a.shape == b.shape
+    sos = head_s.apply(params, feats, bias)
+    assert sos.shape == (1, 5, 12)
+    assert np.all(np.isfinite(np.asarray(sos)))
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(sos, axis=-1)), 1.0, rtol=1e-5)
+    # update_remaining is mode-independent and must still work
+    attns = _r(2, 1, 24, 2, 4)
+    feats2 = head_s.apply(params, feats, attns, method=CLIPRecHead.update_remaining)
+    assert feats2["clip_feat_proj"].shape == (1, 4, 6, 12)
+
+    # the mask itself, vs the reference construction (visual.py:240-250)
+    Q, L, nh = 3, 4, 2
+    b = RNG.standard_normal((1, nh, Q, L)).astype(np.float32)
+    m = np.asarray(rec_self_attn_mask(jnp.asarray(b)))
+    S = Q + 1 + L
+    ref = np.zeros((S, S), np.float32)
+    ref[:, :Q] = -100.0
+    ref[np.arange(Q), np.arange(Q)] = 0.0
+    ref[:Q, Q] = -100.0
+    ref = np.broadcast_to(ref, (1, nh, S, S)).copy()
+    ref[..., :Q, -L:] = b
+    np.testing.assert_array_equal(m, ref)
+
+
 def test_side_adapter_network_shapes():
     cfg = presets.veon_tiny_test().san
     side = SideAdapterNetwork(cfg=cfg)

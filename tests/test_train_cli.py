@@ -134,3 +134,21 @@ def test_cli_selftest_runs(capsys):
     main(["selftest"])
     out = capsys.readouterr().out
     assert "selftest ok" in out
+
+
+def test_metric_writer(tmp_path):
+    import json
+
+    from veon_tpu.utils.logging import MetricWriter
+
+    with MetricWriter(str(tmp_path)) as w:
+        w.write({"loss": 1.5, "lr": 1e-4}, step=10, epoch=0)
+        w.write({"loss": 1.25}, step=20, epoch=0)
+    lines = [json.loads(l) for l in open(w.path)]
+    assert len(lines) == 2
+    assert lines[0]["loss"] == 1.5 and lines[0]["step"] == 10 and lines[0]["epoch"] == 0
+    assert lines[1]["step"] == 20
+    # append-only across sessions
+    with MetricWriter(str(tmp_path)) as w2:
+        w2.write({"loss": 1.0}, step=30)
+    assert len(open(w2.path).readlines()) == 3

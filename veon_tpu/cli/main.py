@@ -126,9 +126,13 @@ def cmd_train(args):
     mesh = Mesh(np.asarray(devices), ("batch",)) if len(devices) > 1 else None
     membership = text_mod.merge_matrix(refl)
     step = make_train_step(model, tx, cfg, membership, mesh=mesh)
-    train_epochs(state, step, loader, ovw, max_epochs=args.epochs,
-                 start_epoch=start_epoch, work_dir=args.work_dir,
-                 temporal_start_epoch=args.temporal_start_epoch)
+    from ..utils.logging import MetricWriter
+
+    with MetricWriter(args.work_dir, tensorboard=True) as writer:
+        train_epochs(state, step, loader, ovw, max_epochs=args.epochs,
+                     start_epoch=start_epoch, work_dir=args.work_dir,
+                     temporal_start_epoch=args.temporal_start_epoch,
+                     writer=writer)
 
 
 def cmd_test(args):
@@ -374,6 +378,16 @@ def cmd_selftest(args):
           "pred", pred.shape)
 
 
+def cmd_export(args):
+    """Serving export (`tools/convert_bevdet_to_TRT.py` counterpart): freeze
+    the flagship inference graph to a StableHLO artifact loadable without
+    model code (utils/export.py)."""
+    from ..utils.export import export_flagship
+
+    path = os.path.join(args.work_dir, "veon_infer.stablehlo")
+    print("exported:", export_flagship(path))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="veon_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -408,7 +422,8 @@ def main(argv=None):
     for name, fn in [("train", cmd_train), ("test", cmd_test),
                      ("cache-depth", cmd_cache_depth),
                      ("pretrain-depth", cmd_pretrain_depth),
-                     ("benchmark", cmd_benchmark), ("selftest", cmd_selftest)]:
+                     ("benchmark", cmd_benchmark), ("selftest", cmd_selftest),
+                     ("export", cmd_export)]:
         p = sub.add_parser(name)
         common(p)
         p.set_defaults(fn=fn)

@@ -95,6 +95,7 @@ class SANConfig:
     feature_last_layer_idx: int = 9  # shallow trunk length (9 B / 18 L)
     clip_resolution: float = 0.5  # CLIP branch input downscale
     rec_downsample_method: str = "max"
+    rec_cross_attn: bool = True  # REC_CROSS_ATTN (san_config.py:48)
     sos_token_format: str = "cls_token"
     template_set: str = "vild"
 

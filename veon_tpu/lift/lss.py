@@ -128,6 +128,7 @@ class LSSLift:
     out_channels: int = 256
     ds_feat: Tuple[int, int, int] = (2, 2, 2)  # (z, h, w) output max-pool
     impl: str = "pallas"  # "pallas" (sorted MXU kernel) | "scan" (XLA scatter)
+    valid_cap: float = 0.35  # see ops.bev_pool.bev_pool_pallas
 
     def precompute_ranks(self, sensor2ego, cam2img, post_rot, post_tran, bda):
         """The "accelerate" mode (`view_transformer_raw.py:196-215, 304-332`):
@@ -170,8 +171,11 @@ class LSSLift:
         """
         if ranks is None:
             ranks = self.precompute_ranks(sensor2ego, cam2img, post_rot, post_tran, bda)
-        pool = bev_pool_pallas if self.impl == "pallas" else bev_pool
-        vox = pool(depth, feat, ranks, self.grid.size)  # (B, Z, Y, X, C)
+        if self.impl == "pallas":
+            vox = bev_pool_pallas(depth, feat, ranks, self.grid.size,
+                                  self.valid_cap)  # (B, Z, Y, X, C)
+        else:
+            vox = bev_pool(depth, feat, ranks, self.grid.size)
         dz, dh, dw = self.ds_feat
         if (dz, dh, dw) != (1, 1, 1):
             B, Z, Y, X, C = vox.shape

@@ -83,7 +83,8 @@ class VeonModel(nn.Module):
             width=c.san.clip_width, heads=c.san.clip_heads,
             first_layer_idx=c.san.feature_last_layer_idx, total_layers=c.san.clip_layers,
             out_dim=c.san.clip_embed_dim, sos_token_num=c.san.num_queries,
-            downsample_method=c.san.rec_downsample_method, dtype=dt, name="rec_head",
+            downsample_method=c.san.rec_downsample_method,
+            cross_attn=c.san.rec_cross_attn, dtype=dt, name="rec_head",
         )
         self.hsa = HighresSideAdaptor(cfg=c.hsa, dtype=dt, name="hsa")
         self.lift_fusion = LiftFusion(cfg=c.propagation, fusion_type=c.propagation.fusion_type,

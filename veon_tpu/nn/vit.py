@@ -203,6 +203,43 @@ def format_attn_biases(
     return x
 
 
+def rec_self_attn_mask(bias: jnp.ndarray) -> jnp.ndarray:
+    """Dense self-attn mask for REC_CROSS_ATTN=False (`visual.py:240-253`).
+
+    The sos/cls/pixel tokens run as ONE sequence; the mask encodes: nobody
+    attends to sos tokens (-100) except each sos to itself (0); sos tokens
+    do not attend to cls (-100); sos->pixel entries carry the SAN bias.
+
+    bias: (B, heads, Q, L) -> (B, heads, Q+1+L, Q+1+L).
+    """
+    B, nh, Q, L = bias.shape
+    S = Q + 1 + L
+    base = np.zeros((S, S), np.float32)
+    base[:, :Q] = -100.0
+    base[np.arange(Q), np.arange(Q)] = 0.0
+    base[:Q, Q] = -100.0
+    top = jnp.concatenate(
+        [jnp.broadcast_to(jnp.asarray(base[:Q, : Q + 1]), (B, nh, Q, Q + 1)),
+         bias], axis=-1)
+    bottom = jnp.broadcast_to(jnp.asarray(base[Q:]), (B, nh, 1 + L, S))
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+class _RecSelfScanBody(nn.Module):
+    """One deep-CLIP layer in REC_CROSS_ATTN=False mode (`visual.py:196-202`):
+    a plain self-attn block over the joint [sos, cls, pixels] sequence with a
+    dense additive mask (rec path) or extra_qk factors (update path)."""
+
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, attn_mask, extra_qk):
+        blk = CLIPBlock(heads=self.heads, dtype=self.dtype, name="block")
+        x = blk(carry, attn_mask=attn_mask, extra_qk=extra_qk)
+        return x, x
+
+
 class _RecScanBody(nn.Module):
     """One deep-CLIP layer doing BOTH the sos cross-attention and the patch
     self-attention with one shared block (reference interleaves them:
@@ -240,12 +277,13 @@ class CLIPRecHead(nn.Module):
     out_dim: int  # proj: 512 (B) / 768 (L)
     sos_token_num: int = 100
     downsample_method: str = "max"
+    cross_attn: bool = True  # REC_CROSS_ATTN (san_config.py:48)
     dtype: Dtype = jnp.float32
 
     def setup(self):
         n = self.total_layers - self.first_layer_idx
         scan_cls = nn.scan(
-            _RecScanBody,
+            _RecScanBody if self.cross_attn else _RecSelfScanBody,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, 0),
@@ -264,12 +302,20 @@ class CLIPRecHead(nn.Module):
         pix = feats[str(k)]
         B, h, w, C = pix.shape
         x = jnp.concatenate([cls, pix.reshape(B, h * w, C)], axis=1)
-        (sos, x), xs = self.scan((sos, x), cross_bias, extra_qk_stacked)
+        if self.cross_attn:
+            (sos, x), xs = self.scan((sos, x), cross_bias, extra_qk_stacked)
+        else:
+            # plain self-attn blocks; cross_bias doubles as the dense mask
+            x, xs = self.scan(x, cross_bias, extra_qk_stacked)
+            sos = None
         return sos, xs, (B, h, w, C)
 
     def __call__(self, feats: Dict[str, jnp.ndarray], attn_bias: jnp.ndarray,
                  normalize: bool = True) -> jnp.ndarray:
-        """Rec path (`visual.py:163-216`, cross_attn mode, sos=cls_token).
+        """Rec path (`visual.py:163-216`, sos=cls_token). cross_attn=True
+        interleaves sos cross-attention with the patch trunk; cross_attn=False
+        (`visual.py:196-202`) runs [sos, cls, pixels] as one self-attn
+        sequence under rec_self_attn_mask.
 
         attn_bias: (B, Hb, Q, h_side, w_side) raw SAN bias."""
         k = self.first_layer_idx
@@ -279,7 +325,13 @@ class CLIPRecHead(nn.Module):
         sos = jnp.broadcast_to(cls, (B, self.sos_token_num, C))
         bias = format_attn_biases(attn_bias, (h, w), self.heads, self.downsample_method)
         zeros_self = jnp.zeros((self.num_blocks, 1, 1, 1, 1), dtype=bias.dtype)
-        sos, _, _ = self._run(feats, bias, zeros_self, sos)
+        if self.cross_attn:
+            sos, _, _ = self._run(feats, bias, zeros_self, sos)
+        else:
+            mask = rec_self_attn_mask(bias)
+            x = jnp.concatenate([sos, cls, pix.reshape(B, h * w, C)], axis=1)
+            x, _ = self.scan(x, mask, zeros_self)
+            sos = x[:, : self.sos_token_num]
         sos = self.ln_post(sos)
         sos = sos @ self.proj.astype(sos.dtype)
         if normalize:

@@ -137,13 +137,18 @@ def _bev_pool_block_kernel(starts_ref, vals_hbm, out_ref, acc_ref,
 def _bev_pool_sorted_pallas(rk_sorted, vals_sorted, num_cells, out_dtype):
     """Sorted (P,) ranks + (P, C) weighted values -> (num_cells, C)."""
     P, C = vals_sorted.shape
+    # Mosaic slices the value/rank lane groups at column C, which must be
+    # 128-aligned; pad the channel dim up (free for the flagship's C=256)
+    Cp = -(-C // 128) * 128
+    if Cp != C:
+        vals_sorted = jnp.pad(vals_sorted, ((0, 0), (0, Cp - C)))
     n_blocks = (num_cells + BEV_POOL_BLOCK_CELLS - 1) // BEV_POOL_BLOCK_CELLS
     v_pad = n_blocks * BEV_POOL_BLOCK_CELLS
     # pad the point stream so chunk DMAs never run off the end; embed the
     # rank as fp32 (exact for < 2^24 cells) in the first lane of an extra
     # 128-lane group so one aligned DMA carries values + ranks together
     pad = BEV_POOL_CHUNK
-    # single-pass layout: [C value lanes | rank broadcast into a 128-lane
+    # single-pass layout: [Cp value lanes | rank broadcast into a 128-lane
     # group] (fp32 is exact for ranks < 2^24), then pad the stream tail
     rk_grp = jnp.broadcast_to(
         rk_sorted.astype(jnp.float32)[:, None], (P, 128)
@@ -151,7 +156,7 @@ def _bev_pool_sorted_pallas(rk_sorted, vals_sorted, num_cells, out_dtype):
     vals_aug = jnp.concatenate(
         [vals_sorted.astype(jnp.float32), rk_grp], axis=1
     )
-    tail = jnp.zeros((pad, C + 128), jnp.float32).at[:, C:].set(float(v_pad))
+    tail = jnp.zeros((pad, Cp + 128), jnp.float32).at[:, Cp:].set(float(v_pad))
     vals_aug = jnp.concatenate([vals_aug, tail], axis=0)
     starts = jnp.searchsorted(
         rk_sorted, jnp.arange(0, v_pad + 1, BEV_POOL_BLOCK_CELLS, dtype=rk_sorted.dtype)
@@ -162,12 +167,12 @@ def _bev_pool_sorted_pallas(rk_sorted, vals_sorted, num_cells, out_dtype):
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (BEV_POOL_BLOCK_CELLS, C), lambda t, starts: (t, 0),
+            (BEV_POOL_BLOCK_CELLS, Cp), lambda t, starts: (t, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((BEV_POOL_BLOCK_CELLS, C), jnp.float32),
-            pltpu.VMEM((BEV_POOL_CHUNK, C + 128), jnp.float32),
+            pltpu.VMEM((BEV_POOL_BLOCK_CELLS, Cp), jnp.float32),
+            pltpu.VMEM((BEV_POOL_CHUNK, Cp + 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -175,26 +180,31 @@ def _bev_pool_sorted_pallas(rk_sorted, vals_sorted, num_cells, out_dtype):
     out = pl.pallas_call(
         _bev_pool_block_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((v_pad, C), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((v_pad, Cp), out_dtype),
         interpret=interpret,
     )(starts, vals_aug)
-    return out[:num_cells]
+    return out[:num_cells, :C]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def bev_pool_pallas(depth, feat, ranks, grid_size):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def bev_pool_pallas(depth, feat, ranks, grid_size, valid_cap=None):
     """Pallas-accelerated bev_pool; same contract as `bev_pool`.
+
+    valid_cap bounds the fraction of frustum points assumed inside the grid
+    (sorted-valid prefix gather); None uses BEV_POOL_VALID_CAP. For the
+    nuScenes rig the measured valid fraction is ~0.17, so 0.35 is a 2x
+    safety margin while cutting the prep stream substantially.
 
     Backward is scatter-free: both grads are gathers of the cotangent
     (ddepth[p] = <feat[pix_p], g[rank_p]>, dfeat[pix] = sum_d w*g[rank]).
     """
-    return _bev_pool_pallas_fwd(depth, feat, ranks, grid_size)[0]
+    return _bev_pool_pallas_fwd(depth, feat, ranks, grid_size, valid_cap)[0]
 
 
 BEV_POOL_VALID_CAP = 0.5  # max fraction of frustum points inside the grid
 
 
-def _bev_pool_pallas_fwd(depth, feat, ranks, grid_size):
+def _bev_pool_pallas_fwd(depth, feat, ranks, grid_size, valid_cap=None):
     B, N, D, h, w = depth.shape
     C = feat.shape[-1]
     nx, ny, nz = grid_size
@@ -209,7 +219,9 @@ def _bev_pool_pallas_fwd(depth, feat, ranks, grid_size):
     # half the frustum lies inside the +-40m grid, so only gather/stream the
     # first P_cap sorted entries (out-of-cap rows are overflow by invariant —
     # if the cap were ever exceeded, tail contributions would be dropped)
-    P_cap = -(-int(P * BEV_POOL_VALID_CAP) // BEV_POOL_CHUNK) * BEV_POOL_CHUNK
+    cap = BEV_POOL_VALID_CAP if valid_cap is None else valid_cap
+    P_cap = -(-int(P * cap) // BEV_POOL_CHUNK) * BEV_POOL_CHUNK
+    P_cap = min(P_cap, -(-P // BEV_POOL_CHUNK) * BEV_POOL_CHUNK)
     order = order[:P_cap]
     pix_s = (order // D).astype(jnp.int32)
     vals = feat.reshape(Pix, C)[pix_s] * wts[order][:, None]
@@ -217,7 +229,7 @@ def _bev_pool_pallas_fwd(depth, feat, ranks, grid_size):
     return out.reshape(B, nz, ny, nx, C), (depth, feat, ranks)
 
 
-def _bev_pool_pallas_bwd(grid_size, res, g):
+def _bev_pool_pallas_bwd(grid_size, valid_cap, res, g):
     depth, feat, ranks = res
     B, N, D, h, w = depth.shape
     C = feat.shape[-1]

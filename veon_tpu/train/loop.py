@@ -53,6 +53,7 @@ def train_epochs(
     log_interval: int = 50,
     temporal_start_epoch: int = 0,
     log_fn: Callable[[str], None] = print,
+    writer=None,  # optional utils.logging.MetricWriter
 ):
     """Stage-2 training loop. The loss's priority-ignorance schedule gets the
     epoch through the batch (the reference injects it via the EMA hook,
@@ -77,6 +78,10 @@ def train_epochs(
                 msg = ", ".join(f"{k}: {float(v):.4f}" for k, v in sorted(losses.items()))
                 log_fn(f"epoch {epoch + 1} iter {it + 1}/{len(loader)} "
                        f"({dt:.2f}s/iter) {msg}")
+                if writer is not None:
+                    scalars = {k: float(v) for k, v in losses.items()}
+                    scalars["sec_per_iter"] = dt
+                    writer.write(scalars, int(jax.device_get(state.step)), epoch)
         save_checkpoint(work_dir, int(jax.device_get(state.step)), state)
         log_fn(f"saved checkpoint for epoch {epoch + 1}")
     return state

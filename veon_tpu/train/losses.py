@@ -48,6 +48,77 @@ def bce_bin_occ_loss(
     return jnp.sum(nll * wt) / jnp.maximum(jnp.sum(wt), 1e-6)
 
 
+# nuScenes-Occ3D voxel counts per class (public dataset statistics;
+# `occ_loss_utils/nusc_param.py:7-26`), used for balanced CE weights.
+NUSC_CLASS_FREQUENCIES = np.array([
+    944004, 1897170, 152386, 2391677, 16957802, 724139, 189027, 2074468,
+    413451, 2384460, 5916653, 175883646, 4275424, 51393615, 61411620,
+    105975596, 116424404, 1892500630,
+], dtype=np.float64)
+
+
+def balanced_class_weights(out_channel: int = 18) -> np.ndarray:
+    """1/log(freq + 1e-3) class weights (`occ_loss.py:74-77`,
+    balance_cls_weight=True)."""
+    return (1.0 / np.log(NUSC_CLASS_FREQUENCIES[:out_channel] + 0.001)).astype(np.float32)
+
+
+def ce_sem_occ_loss(
+    sem_occ: jnp.ndarray,
+    voxel_semantics: jnp.ndarray,
+    class_weights: Optional[Sequence[float]] = None,
+    ignore_idx: int = 255,
+) -> jnp.ndarray:
+    """Full semantic-occupancy CE (CE_SemOcc_Loss, `occ3d_nuscenes.py:215-226`):
+    torch CrossEntropyLoss semantics over C=18 classes with per-class weights
+    (default: balanced 1/log-frequency) — sum(w_t*nll_t)/sum(w_t) over
+    non-ignored voxels.
+
+    sem_occ: (B, X, Y, Z, C) logits; voxel_semantics: (B, X, Y, Z) int.
+    """
+    C = sem_occ.shape[-1]
+    if class_weights is None:
+        class_weights = balanced_class_weights(C)
+    w = jnp.asarray(class_weights, dtype=jnp.float32)
+    valid = voxel_semantics != ignore_idx
+    tgt = jnp.clip(voxel_semantics, 0, C - 1)
+    logp = jax.nn.log_softmax(sem_occ.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    wt = w[tgt] * valid
+    return jnp.sum(nll * wt) / jnp.maximum(jnp.sum(wt), 1e-6)
+
+
+def pixel_align_2d_loss(
+    sem_seg_ds: jnp.ndarray,
+    clip_feat: jnp.ndarray,
+    ov_weight: jnp.ndarray,
+) -> jnp.ndarray:
+    """2D pixel-alignment cosine loss (loss_2d_pixel_align,
+    `occ_loss.py:166-186`): pull the dense CLIP-projected feature map toward
+    the text embedding of each pixel's argmax class. Unused by the shipping
+    config (commented out at `occ_loss.py:160`) but part of the loss surface.
+
+    sem_seg_ds: (B, N, H, W, P) class scores; clip_feat: (B, N, h, w, D);
+    ov_weight: (P+1, D) (last row = background, dropped).
+    Returns 1 - mean cosine similarity.
+    """
+    idx = jnp.argmax(sem_seg_ds, axis=-1)  # (B, N, H, W)
+    pseudo = ov_weight[:-1].astype(clip_feat.dtype)[idx]  # (B, N, H, W, D)
+    H, W = sem_seg_ds.shape[2], sem_seg_ds.shape[3]
+    h, w = clip_feat.shape[2], clip_feat.shape[3]
+    if (h, w) != (H, W):
+        # F.interpolate default: nearest (`occ_loss.py:179-180`)
+        iy = (jnp.arange(H) * h) // H
+        ix = (jnp.arange(W) * w) // W
+        clip_feat = clip_feat[:, :, iy][:, :, :, ix]
+    return 1.0 - jnp.mean(_cosine(pseudo, clip_feat))
+
+
+def vel_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """L1 velocity loss (`occ3d_nuscenes.py:195-197`)."""
+    return jnp.mean(jnp.abs(pred.astype(jnp.float32) - gt.astype(jnp.float32)))
+
+
 # --------------------------------------------------------------------------
 # 2D->3D distillation (Proj2Dto3DLoss, occ3d_nuscenes.py:228-523)
 # --------------------------------------------------------------------------

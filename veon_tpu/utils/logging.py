@@ -1,0 +1,60 @@
+"""Structured metric logging.
+
+Replaces the mmcv logger-hook stack (TextLoggerHook writing
+`{work_dir}/*.log.json` + the optional TensorboardLoggerHook from the
+reference's runner config): a JSONL scalar stream that downstream tooling
+can tail, plus an optional TensorBoard event writer when the (torch)
+tensorboard package happens to be importable — never required.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+class MetricWriter:
+    """Append-only scalar logger: one JSON object per `write` call.
+
+    File format (one line each):
+      {"step": 120, "epoch": 1, "time": 1723800000.0, "loss_binocc": 0.41, ...}
+    """
+
+    def __init__(self, work_dir: str, filename: str = "train.log.jsonl",
+                 tensorboard: bool = False):
+        os.makedirs(work_dir, exist_ok=True)
+        self.path = os.path.join(work_dir, filename)
+        self._fh = open(self.path, "a", buffering=1)
+        self._tb = None
+        if tensorboard:
+            try:  # optional; absent in this image -> silently JSONL-only
+                from torch.utils.tensorboard import SummaryWriter  # type: ignore
+
+                self._tb = SummaryWriter(os.path.join(work_dir, "tb"))
+            except Exception:
+                self._tb = None
+
+    def write(self, scalars: Dict[str, float], step: int,
+              epoch: Optional[int] = None) -> None:
+        rec = {"step": int(step), "time": time.time()}
+        if epoch is not None:
+            rec["epoch"] = int(epoch)
+        for k, v in scalars.items():
+            rec[k] = float(v)
+        self._fh.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), int(step))
+
+    def close(self) -> None:
+        self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
