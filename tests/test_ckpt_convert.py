@@ -277,3 +277,63 @@ def test_merge_lora_equivalence():
     mod0 = LoRADense(4, lora_r=0)
     got = mod0.apply({"params": jax.tree_util.tree_map(jnp.asarray, folded)}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_rec_head_self_attn_mode_parity():
+    """REC_CROSS_ATTN=False numerics vs a torch oracle built from the
+    published formulation (`visual.py:196-202, 240-253`): joint
+    [sos, cls, pixels] sequence through plain CLIP blocks whose additive
+    attention mask carries the SAN bias on the sos->pixel entries."""
+    from veon_tpu.nn.vit import CLIPRecHead
+
+    d, heads, Q, B, h, w = 16, 4, 3, 2, 2, 3
+    L = h * w
+    S = Q + 1 + L
+    n = 2
+
+    class TorchMaskBlock(TorchCLIPBlock):
+        def forward(self, x, attn_mask):  # x: (S, N, D)
+            y = self.ln_1(x)
+            x = x + self.attn(y, y, y, need_weights=False, attn_mask=attn_mask)[0]
+            x = x + self.mlp(self.ln_2(x))
+            return x
+
+    blocks = [TorchMaskBlock(d, heads).eval() for _ in range(n)]
+    ln_post = tnn.LayerNorm(d).eval()
+    proj = torch.from_numpy(RNG.standard_normal((d, 8)).astype(np.float32))
+
+    # inputs
+    pix = RNG.standard_normal((B, h, w, d)).astype(np.float32)
+    cls = RNG.standard_normal((B, 1, d)).astype(np.float32)
+    bias = RNG.standard_normal((B, heads, Q, L)).astype(np.float32)
+
+    # reference mask construction (visual.py:240-250)
+    base = np.zeros((S, S), np.float32)
+    base[:, :Q] = -100.0
+    base[np.arange(Q), np.arange(Q)] = 0.0
+    base[:Q, Q] = -100.0
+    mask = np.broadcast_to(base, (B, heads, S, S)).copy()
+    mask[..., :Q, -L:] = bias
+    tmask = torch.from_numpy(mask.reshape(B * heads, S, S))
+
+    with torch.no_grad():
+        sos = torch.from_numpy(cls).permute(1, 0, 2).repeat(Q, 1, 1)  # (Q,B,d)
+        xpix = torch.from_numpy(pix.reshape(B, L, d)).permute(1, 0, 2)
+        x = torch.cat([sos, torch.from_numpy(cls).permute(1, 0, 2), xpix], dim=0)
+        for blk, m in zip(blocks, [tmask] * n):
+            x = blk(x, m)
+        out = ln_post(x[:Q].permute(1, 0, 2)) @ proj
+        want = tF.normalize(out, dim=-1).numpy()
+
+    # convert per-layer torch weights into the scanned param tree
+    params = {
+        "resblocks": {"block": C._stack([C._clip_block(_sd(b), "") for b in blocks])},
+        "ln_post": C._ln(_sd(ln_post), ""),
+        "proj_kernel": proj.numpy(),
+    }
+    head = CLIPRecHead(width=d, heads=heads, first_layer_idx=2, total_layers=4,
+                       out_dim=8, sos_token_num=Q, cross_attn=False)
+    feats = {"2": jnp.asarray(pix), "2_cls": jnp.asarray(cls)}
+    got = head.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                     feats, jnp.asarray(bias.reshape(B, heads, Q, h, w)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)

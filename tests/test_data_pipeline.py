@@ -187,3 +187,36 @@ def test_dataset_evaluate_runs(fixture_root):
     preds = [rng.integers(0, 18, size=(20, 20, 4)) for _ in range(3)]
     res = ds.evaluate(preds)
     assert "mIoU" in res and np.isfinite(res["mIoU"])
+
+
+def test_points_to_pseudo_mask():
+    from veon_tpu.configs.base import GridConfig
+    from veon_tpu.data.depth_gt import points_to_pseudo_mask
+
+    grid = GridConfig(x=(-4, 4, 2), y=(-4, 4, 2), z=(-1, 3, 2), depth=(1.0, 9.0, 1.0))
+    pts = np.array([
+        [-3.9, -3.9, -0.9],   # -> voxel (0, 0, 0)
+        [3.9, 3.9, 2.9],      # -> voxel (3, 3, 1)
+        [0.1, 0.1, 0.1],      # -> voxel (2, 2, 0)
+        [10.0, 0.0, 0.0],     # out of range -> dropped
+        [-4.0, 0.0, 0.0],     # on the strict lower bound -> dropped
+        [4.0, 4.0, 3.0],      # inclusive upper bound -> voxel (3, 3, 1)
+    ], dtype=np.float32)
+    mask = points_to_pseudo_mask(pts, np.eye(4, dtype=np.float32), grid)
+    assert mask.shape == (4, 4, 2)
+    assert mask.sum() == 3
+    assert mask[0, 0, 0] == 1 and mask[3, 3, 1] == 1 and mask[2, 2, 0] == 1
+
+
+def test_summarize_log(tmp_path):
+    import json as _json
+
+    from veon_tpu.utils.logging import MetricWriter, summarize_log
+
+    with MetricWriter(str(tmp_path)) as w:
+        w.write({"loss": 2.0, "sec_per_iter": 0.5}, step=1, epoch=0)
+        w.write({"loss": 1.0, "sec_per_iter": 0.3}, step=2, epoch=0)
+    s = summarize_log(w.path)
+    assert s["num_records"] == 2
+    assert s["loss"] == {"first": 2.0, "last": 1.0, "min": 1.0}
+    assert abs(s["avg_sec_per_iter"] - 0.4) < 1e-9

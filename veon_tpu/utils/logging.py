@@ -58,3 +58,23 @@ class MetricWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def summarize_log(path: str) -> Dict[str, object]:
+    """Training-log analysis (`tools/analysis_tools/analyze_logs.py`
+    counterpart for the JSONL format): average iteration time and the
+    per-scalar first/last/min values across the run."""
+    recs = [json.loads(line) for line in open(path)]
+    out: Dict[str, object] = {"num_records": len(recs)}
+    if not recs:
+        return out
+    skip = {"step", "time", "epoch"}
+    keys = [k for k in recs[-1] if k not in skip]
+    for k in keys:
+        vals = [r[k] for r in recs if k in r]
+        out[k] = {"first": vals[0], "last": vals[-1], "min": min(vals)}
+    if "sec_per_iter" in recs[-1]:
+        out["avg_sec_per_iter"] = sum(
+            r["sec_per_iter"] for r in recs if "sec_per_iter" in r
+        ) / max(sum(1 for r in recs if "sec_per_iter" in r), 1)
+    return out
