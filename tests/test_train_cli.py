@@ -152,3 +152,39 @@ def test_metric_writer(tmp_path):
     with MetricWriter(str(tmp_path)) as w2:
         w2.write({"loss": 1.0}, step=30)
     assert len(open(w2.path).readlines()) == 3
+
+
+def test_text_classifier_from_extras():
+    """CLI _text_classifier: converted text tower + bg + logit_scale ->
+    (P+1, out_dim) classifier with rows of norm exp(logit_scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from veon_tpu.cli.main import _text_classifier
+    from veon_tpu.configs import presets
+    from veon_tpu.nn import text as text_mod
+    from veon_tpu.nn.vit import CLIPTextEncoder
+
+    cfg = presets.veon_tiny_test()
+    prompts, _ = text_mod.build_vocabulary(cfg.vocabulary)
+    enc = CLIPTextEncoder(
+        width=cfg.san.text_width, heads=cfg.san.text_heads,
+        num_layers=cfg.san.text_layers, out_dim=cfg.san.clip_embed_dim,
+        vocab_size=cfg.san.text_vocab_size,
+        context_length=cfg.san.text_context_length,
+    )
+    tower = enc.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, cfg.san.text_context_length), jnp.int32))["params"]
+    rng = np.random.default_rng(0)
+    extras = {
+        "text_tower": jax.tree_util.tree_map(np.asarray, tower),
+        "bg_embed": rng.standard_normal((1, cfg.san.clip_embed_dim)).astype(np.float32),
+        "logit_scale": np.float32(2.0),
+    }
+    ovw, enc2, text_params = _text_classifier(cfg, prompts, extras)
+    assert ovw.shape == (len(prompts) + 1, cfg.san.clip_embed_dim)
+    norms = np.asarray(jnp.linalg.norm(ovw, axis=-1))
+    np.testing.assert_allclose(norms, np.exp(2.0), rtol=1e-4)
+    # returned tower params reusable for free-text encoding
+    emb = enc2.apply(text_params, jnp.zeros((1, cfg.san.text_context_length), jnp.int32))
+    assert emb.shape == (1, cfg.san.clip_embed_dim)

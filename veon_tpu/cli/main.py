@@ -33,7 +33,39 @@ def _build_cfg(args):
     return cfg
 
 
-def _build_model_and_params(cfg, ckpt=None, san_ckpt=None, depth_ckpt=None, train=False):
+def _text_classifier(cfg, prompts, extras, bpe_path=None):
+    """Run the converted CLIP text tower over the vocabulary to build the
+    real OV classifier (`prepare_vocabulary`, san_in_veon_entry_temporal.py:
+    78-117 + classifier.py:34-60): per-template encode, ensemble-average,
+    append learnable bg row, scale by exp(logit_scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..nn import text as text_mod
+    from ..nn.vit import CLIPTextEncoder
+
+    enc = CLIPTextEncoder(
+        width=cfg.san.text_width, heads=cfg.san.text_heads,
+        num_layers=cfg.san.text_layers, out_dim=cfg.san.clip_embed_dim,
+        vocab_size=cfg.san.text_vocab_size,
+        context_length=cfg.san.text_context_length,
+    )
+    text_params = {"params": jax.tree_util.tree_map(jnp.asarray, extras["text_tower"])}
+    tok = text_mod.ClipTokenizer(bpe_path)
+    apply = jax.jit(enc.apply)
+    embeds = [
+        apply(text_params, jnp.asarray(tok.tokenize([t.format(p) for p in prompts])))
+        for t in text_mod.get_templates(cfg.san.template_set)
+    ]
+    w = text_mod.classifier_weights_from_embeddings(jnp.stack(embeds))
+    ovw = text_mod.ov_classifier_weight(
+        w, jnp.asarray(extras["bg_embed"]), jnp.asarray(extras["logit_scale"])
+    )
+    return ovw, enc, text_params
+
+
+def _build_model_and_params(cfg, ckpt=None, san_ckpt=None, depth_ckpt=None,
+                            train=False, bpe_path=None):
     import jax
     import jax.numpy as jnp
 
@@ -43,6 +75,8 @@ def _build_model_and_params(cfg, ckpt=None, san_ckpt=None, depth_ckpt=None, trai
     model = VeonModel(cfg=cfg, bn_axis_name="batch" if train else None)
     prompts, refl = text_mod.build_vocabulary(cfg.vocabulary)
     rng = np.random.default_rng(0)
+    # placeholder classifier; replaced with the real text-tower encoding
+    # below when a checkpoint carrying the ov_classifier is supplied
     ovw = jnp.asarray(
         rng.standard_normal((len(prompts) + 1, cfg.san.clip_embed_dim)).astype(np.float32)
     )
@@ -57,6 +91,7 @@ def _build_model_and_params(cfg, ckpt=None, san_ckpt=None, depth_ckpt=None, trai
             method=VeonModel.full_forward,
         )
     variables = dict(variables)
+    extras = {}
     if san_ckpt:
         from ..ckpt import convert as C
 
@@ -69,6 +104,8 @@ def _build_model_and_params(cfg, ckpt=None, san_ckpt=None, depth_ckpt=None, trai
             bs = dict(variables.get("batch_stats", {}))
             bs.update(stats)
             variables["batch_stats"] = bs
+        if "text_tower" in extras and "bg_embed" in extras and "logit_scale" in extras:
+            ovw, _, _ = _text_classifier(cfg, prompts, extras, bpe_path)
     if depth_ckpt:
         from ..ckpt import convert as C
 
@@ -78,7 +115,7 @@ def _build_model_and_params(cfg, ckpt=None, san_ckpt=None, depth_ckpt=None, trai
     import jax
 
     variables = jax.device_put(variables, jax.devices()[0])
-    return model, variables, ovw, refl
+    return model, variables, ovw, refl, extras
 
 
 def cmd_train(args):
@@ -95,8 +132,9 @@ def cmd_train(args):
     from ..utils.params import param_table
 
     cfg = _build_cfg(args)
-    model, variables, ovw, refl = _build_model_and_params(
-        cfg, san_ckpt=args.load_from, depth_ckpt=args.depth_load_from, train=True
+    model, variables, ovw, refl, _extras = _build_model_and_params(
+        cfg, san_ckpt=args.load_from, depth_ckpt=args.depth_load_from, train=True,
+        bpe_path=getattr(args, "bpe_path", None),
     )
     print(param_table(variables["params"], stage2_trainable))
 
@@ -148,8 +186,9 @@ def cmd_test(args):
     from ..train.loop import evaluate_occ
 
     cfg = _build_cfg(args)
-    model, variables, ovw, refl = _build_model_and_params(
-        cfg, san_ckpt=args.load_from, depth_ckpt=args.depth_load_from
+    model, variables, ovw, refl, _extras = _build_model_and_params(
+        cfg, san_ckpt=args.load_from, depth_ckpt=args.depth_load_from,
+        bpe_path=getattr(args, "bpe_path", None),
     )
     if args.ckpt:
         from ..ckpt.io import load_checkpoint
@@ -203,20 +242,27 @@ def cmd_test_retrieval(args):
     from ..nn.vit import CLIPTextEncoder
 
     cfg = _build_cfg(args)
-    model, variables, ovw, refl = _build_model_and_params(
-        cfg, san_ckpt=args.load_from, depth_ckpt=args.depth_load_from
+    model, variables, ovw, refl, extras = _build_model_and_params(
+        cfg, san_ckpt=args.load_from, depth_ckpt=args.depth_load_from,
+        bpe_path=getattr(args, "bpe_path", None),
     )
-    # text tower for free-text prompts (random init if no checkpoint)
-    enc = CLIPTextEncoder(
-        width=cfg.san.text_width, heads=cfg.san.text_heads,
-        num_layers=cfg.san.text_layers, out_dim=cfg.san.clip_embed_dim,
-        vocab_size=cfg.san.text_vocab_size,
-        context_length=cfg.san.text_context_length,
-    )
+    # text tower for free-text prompts: the checkpoint's ov_classifier tower
+    # when available (random init otherwise, for shape-level smoke runs)
     tok = text_mod.ClipTokenizer(getattr(args, "bpe_path", None))
-    text_params = jax.jit(enc.init)(
-        jax.random.PRNGKey(1), jnp.zeros((1, cfg.san.text_context_length), jnp.int32)
-    )
+    if "text_tower" in extras:
+        prompts, _ = text_mod.build_vocabulary(cfg.vocabulary)
+        _, enc, text_params = _text_classifier(
+            cfg, prompts, extras, getattr(args, "bpe_path", None))
+    else:
+        enc = CLIPTextEncoder(
+            width=cfg.san.text_width, heads=cfg.san.text_heads,
+            num_layers=cfg.san.text_layers, out_dim=cfg.san.clip_embed_dim,
+            vocab_size=cfg.san.text_vocab_size,
+            context_length=cfg.san.text_context_length,
+        )
+        text_params = jax.jit(enc.init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, cfg.san.text_context_length), jnp.int32)
+        )
 
     import functools
 
@@ -267,7 +313,7 @@ def cmd_cache_depth(args):
     from ..train.loop import write_depth_cache
 
     cfg = _build_cfg(args)
-    model, variables, _, _ = _build_model_and_params(cfg, depth_ckpt=args.depth_load_from)
+    model, variables, _, _, _ = _build_model_and_params(cfg, depth_ckpt=args.depth_load_from)
 
     @jax.jit
     def depth_fn(depth_imgs):
