@@ -57,7 +57,7 @@ def example_batch_full(cfg: VeonConfig, B: int = 1):
 
     imgs, _depth, metas = example_batch(cfg, B)
     F, N = cfg.num_temporal, cfg.data.num_cams
-    dh, dw = dav2_size(*cfg.data.depth_input_size)
+    dh, dw = dav2_size(*cfg.data.depth_input_size, target=cfg.data.dav2_target)
     rng = np.random.default_rng(3)
     depth_imgs = jnp.asarray(
         rng.standard_normal((B, F, N, dh, dw, 3)).astype(np.float32)

@@ -251,6 +251,10 @@ class DataConfig:
     input_size: Tuple[int, int] = (512, 1408)
     depth_norm_method: str = "depthanythingv2"  # or "midas" for the zoe branch
     depth_input_size: Tuple[int, int] = (256, 704)
+    # DA-V2 lower-bound resize target (multiple of 14). 252 is the reference
+    # protocol (loading.py:1048-1070); smaller values (e.g. 196) trade depth
+    # quality for a large depth-tower FLOP cut — a serving-time knob.
+    dav2_target: int = 252
     src_size: Tuple[int, int] = (900, 1600)
     # augmentation ranges (disabled by default, matching the VEON configs)
     resize: Tuple[float, float] = (0.0, 0.0)
