@@ -91,12 +91,14 @@ BEV_POOL_BLOCK_CELLS = 1024
 BEV_POOL_CHUNK = 512
 
 
-def _bev_pool_block_kernel(starts_ref, vals_hbm, out_ref, acc_ref,
-                           vals_buf, sem_vals):
-    """One output cell block. vals_hbm rows: [C value lanes | 128 lanes whose
-    lane 0 carries the (sorted) rank as fp32]. Chunk DMAs start on CHUNK-
-    aligned global offsets so the HBM slices stay tile-aligned; rows outside
-    [s0, s1) are masked off (adjacent blocks may re-read a boundary chunk).
+def _bev_pool_block_kernel(starts_ref, vals_hbm, rk_hbm, out_ref, acc_ref,
+                           vals_buf, rk_buf, sem_vals, sem_rk):
+    """One output cell block, two HBM streams: vals rows stay in the caller's
+    dtype (bf16 in production — half the bytes of an fp32 stream) and the
+    sorted rank rides a separate int32 lane group. Chunk DMAs start on
+    CHUNK-aligned global offsets so the HBM slices stay tile-aligned; rows
+    outside [s0, s1) are masked off (adjacent blocks may re-read a boundary
+    chunk).
     """
     t = pl.program_id(0)
     s0 = starts_ref[t]
@@ -104,27 +106,31 @@ def _bev_pool_block_kernel(starts_ref, vals_hbm, out_ref, acc_ref,
     acc_ref[:] = jnp.zeros_like(acc_ref)
     base = (s0 // BEV_POOL_CHUNK) * BEV_POOL_CHUNK
     n_chunks = (s1 - base + BEV_POOL_CHUNK - 1) // BEV_POOL_CHUNK
-    C = acc_ref.shape[-1]
 
     def body(i, _):
         off = base + i * BEV_POOL_CHUNK
-        cp = pltpu.make_async_copy(
+        cpv = pltpu.make_async_copy(
             vals_hbm.at[pl.ds(off, BEV_POOL_CHUNK)], vals_buf, sem_vals
         )
-        cp.start()
-        cp.wait()
+        cpr = pltpu.make_async_copy(
+            rk_hbm.at[pl.ds(off, BEV_POOL_CHUNK)], rk_buf, sem_rk
+        )
+        cpv.start()
+        cpr.start()
+        cpr.wait()
+        cpv.wait()
         row = jax.lax.broadcasted_iota(jnp.int32, (BEV_POOL_CHUNK, BEV_POOL_BLOCK_CELLS), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (BEV_POOL_CHUNK, BEV_POOL_BLOCK_CELLS), 1)
-        local = vals_buf[:, C:C + 1].astype(jnp.int32) - t * BEV_POOL_BLOCK_CELLS
+        local = rk_buf[:, :1] - t * BEV_POOL_BLOCK_CELLS
         gid = row + off
         valid = (gid >= s0) & (gid < s1)
         # one-hot is exactly representable in any float dtype; match the
-        # matmul dtype to the input so fp32 callers keep exact accumulation
-        # while bf16 callers get the 4x MXU rate
-        mm_dtype = out_ref.dtype if out_ref.dtype == jnp.bfloat16 else jnp.float32
+        # matmul dtype to the value stream so fp32 callers keep exact
+        # accumulation while bf16 callers get the 4x MXU rate
+        mm_dtype = vals_buf.dtype
         onehot = jnp.where((col == local) & valid, 1.0, 0.0).astype(mm_dtype)
         acc_ref[:] += jax.lax.dot_general(
-            onehot, vals_buf[:, :C].astype(mm_dtype),
+            onehot, vals_buf[...],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -137,27 +143,23 @@ def _bev_pool_block_kernel(starts_ref, vals_hbm, out_ref, acc_ref,
 def _bev_pool_sorted_pallas(rk_sorted, vals_sorted, num_cells, out_dtype):
     """Sorted (P,) ranks + (P, C) weighted values -> (num_cells, C)."""
     P, C = vals_sorted.shape
-    # Mosaic slices the value/rank lane groups at column C, which must be
-    # 128-aligned; pad the channel dim up (free for the flagship's C=256)
+    # Mosaic wants 128-aligned lane counts; pad the channel dim up
+    # (free for the flagship's C=256)
     Cp = -(-C // 128) * 128
     if Cp != C:
         vals_sorted = jnp.pad(vals_sorted, ((0, 0), (0, Cp - C)))
     n_blocks = (num_cells + BEV_POOL_BLOCK_CELLS - 1) // BEV_POOL_BLOCK_CELLS
     v_pad = n_blocks * BEV_POOL_BLOCK_CELLS
-    # pad the point stream so chunk DMAs never run off the end; embed the
-    # rank as fp32 (exact for < 2^24 cells) in the first lane of an extra
-    # 128-lane group so one aligned DMA carries values + ranks together
+    # pad the point stream tail so chunk DMAs never run off the end; tail
+    # ranks point at the (sliced-off) overflow region
     pad = BEV_POOL_CHUNK
-    # single-pass layout: [Cp value lanes | rank broadcast into a 128-lane
-    # group] (fp32 is exact for ranks < 2^24), then pad the stream tail
-    rk_grp = jnp.broadcast_to(
-        rk_sorted.astype(jnp.float32)[:, None], (P, 128)
-    )
     vals_aug = jnp.concatenate(
-        [vals_sorted.astype(jnp.float32), rk_grp], axis=1
+        [vals_sorted, jnp.zeros((pad, Cp), vals_sorted.dtype)], axis=0
     )
-    tail = jnp.zeros((pad, Cp + 128), jnp.float32).at[:, Cp:].set(float(v_pad))
-    vals_aug = jnp.concatenate([vals_aug, tail], axis=0)
+    rk_grp = jnp.concatenate(
+        [rk_sorted.astype(jnp.int32), jnp.full((pad,), v_pad, jnp.int32)]
+    )
+    rk_grp = jnp.broadcast_to(rk_grp[:, None], (P + pad, 128))
     starts = jnp.searchsorted(
         rk_sorted, jnp.arange(0, v_pad + 1, BEV_POOL_BLOCK_CELLS, dtype=rk_sorted.dtype)
     ).astype(jnp.int32)
@@ -165,14 +167,17 @@ def _bev_pool_sorted_pallas(rk_sorted, vals_sorted, num_cells, out_dtype):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (BEV_POOL_BLOCK_CELLS, Cp), lambda t, starts: (t, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((BEV_POOL_BLOCK_CELLS, Cp), jnp.float32),
-            pltpu.VMEM((BEV_POOL_CHUNK, Cp + 128), jnp.float32),
+            pltpu.VMEM((BEV_POOL_CHUNK, Cp), vals_sorted.dtype),
+            pltpu.VMEM((BEV_POOL_CHUNK, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -182,7 +187,7 @@ def _bev_pool_sorted_pallas(rk_sorted, vals_sorted, num_cells, out_dtype):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((v_pad, Cp), out_dtype),
         interpret=interpret,
-    )(starts, vals_aug)
+    )(starts, vals_aug, rk_grp)
     return out[:num_cells, :C]
 
 
