@@ -220,3 +220,25 @@ def test_summarize_log(tmp_path):
     assert s["num_records"] == 2
     assert s["loss"] == {"first": 2.0, "last": 1.0, "min": 1.0}
     assert abs(s["avg_sec_per_iter"] - 0.4) < 1e-9
+
+
+def test_loader_sharding():
+    """shard=(i, c) strides the dataset; shards partition it exactly."""
+    from veon_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.asarray([i])}
+
+    seen = []
+    for rank in range(3):
+        loader = DataLoader(DS(), batch_size=1, shuffle=False, num_workers=1,
+                            drop_last=False, shard=(rank, 3))
+        got = [int(b["x"][0, 0]) for b in loader]
+        assert got == list(range(rank, 10, 3))
+        assert len(loader) == len(got)
+        seen.extend(got)
+    assert sorted(seen) == list(range(10))
