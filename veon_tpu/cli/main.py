@@ -72,7 +72,10 @@ def _build_model_and_params(cfg, ckpt=None, san_ckpt=None, depth_ckpt=None,
     from ..model.veon import VeonModel
     from ..nn import text as text_mod
 
-    model = VeonModel(cfg=cfg, bn_axis_name="batch" if train else None)
+    # training needs remat (block recompute in backward): without it the
+    # B=1 stage-2 backward wants ~21 GB vs the chip's 15.75 GB HBM
+    model = VeonModel(cfg=cfg, bn_axis_name="batch" if train else None,
+                      remat=train)
     prompts, refl = text_mod.build_vocabulary(cfg.vocabulary)
     rng = np.random.default_rng(0)
     # placeholder classifier; replaced with the real text-tower encoding
@@ -424,6 +427,59 @@ def cmd_selftest(args):
           "pred", pred.shape)
 
 
+def cmd_vis(args):
+    """Occupancy visualization (`san_in_veon_entry_temporal.py:172-241`
+    visualize + `nuscenes_dataset_occ.py:88-108` BEV vis): run prediction on
+    real data if --ann is readable, otherwise on the synthetic batch, and
+    write BEV + height-slice PNGs to --work-dir."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..model.veon import VeonModel, fusion_rule
+    from ..nn import text as text_mod
+    from ..utils.vis import save_png, vis_occ_bev, vis_occ_height_slices
+
+    cfg = _build_cfg(args)
+    model, variables, ovw, refl, _extras = _build_model_and_params(
+        cfg, san_ckpt=args.load_from, depth_ckpt=args.depth_load_from,
+        bpe_path=getattr(args, "bpe_path", None),
+    )
+    membership = text_mod.merge_matrix(refl)
+
+    @jax.jit
+    def predict(variables, imgs, depth_imgs, metas, ovw):
+        out = model.apply(variables, imgs, depth_imgs, metas, ovw, train=False,
+                          method=VeonModel.full_forward)
+        merged = text_mod.merge_classes_max(out["sem_occ_raw"], membership, axis=-1)
+        return fusion_rule(merged, out["bin_occ"])
+
+    if os.path.exists(args.ann):
+        from ..data.loader import DataLoader
+        from ..data.nuscenes import NuScenesOccDataset, load_infos
+        from ..train.loop import _to_device
+
+        ds = NuScenesOccDataset(
+            infos=load_infos(args.ann), data_cfg=cfg.data, grid=cfg.grid,
+            num_temporal=cfg.num_temporal, is_train=False, data_root=args.data_root,
+        )
+        batch = next(iter(DataLoader(ds, batch_size=1, shuffle=False,
+                                     num_workers=1, drop_last=False)))
+        imgs, depth_imgs, metas = (_to_device(batch["imgs"]),
+                                   _to_device(batch["depth_imgs"]),
+                                   _to_device(batch["metas"]))
+    else:
+        from ..cli.shapes import example_batch_full
+
+        imgs, depth_imgs, metas = example_batch_full(cfg, B=1)
+    pred = np.asarray(jax.device_get(predict(variables, imgs, depth_imgs, metas, ovw)))
+    os.makedirs(args.work_dir, exist_ok=True)
+    bev = os.path.join(args.work_dir, "occ_bev.png")
+    slc = os.path.join(args.work_dir, "occ_slices.png")
+    save_png(bev, vis_occ_bev(pred[0]))
+    save_png(slc, vis_occ_height_slices(pred[0]))
+    print("wrote", bev, "and", slc)
+
+
 def cmd_export(args):
     """Serving export (`tools/convert_bevdet_to_TRT.py` counterpart): freeze
     the flagship inference graph to a StableHLO artifact loadable without
@@ -469,7 +525,7 @@ def main(argv=None):
                      ("cache-depth", cmd_cache_depth),
                      ("pretrain-depth", cmd_pretrain_depth),
                      ("benchmark", cmd_benchmark), ("selftest", cmd_selftest),
-                     ("export", cmd_export)]:
+                     ("export", cmd_export), ("vis", cmd_vis)]:
         p = sub.add_parser(name)
         common(p)
         p.set_defaults(fn=fn)

@@ -51,6 +51,10 @@ class VeonModel(nn.Module):
 
     cfg: VeonConfig
     bn_axis_name: Optional[str] = None
+    # recompute trunk blocks in the backward pass (torch.utils.checkpoint
+    # equivalent, highres_side_adaptor.py:262-298 / align_net_occ3d.py:257;
+    # required to fit the B=1 stage-2 backward in 16 GB HBM)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -76,22 +80,25 @@ class VeonModel(nn.Module):
             width=c.san.clip_width, heads=c.san.clip_heads,
             num_layers=c.san.feature_last_layer_idx, patch_size=c.san.clip_patch_size,
             pretrain_grid=c.san.clip_pretrain_grid, save_layers=save_layers,
-            dtype=dt, name="clip_visual",
+            remat=self.remat, dtype=dt, name="clip_visual",
         )
-        self.side_adapter = SideAdapterNetwork(cfg=c.san, dtype=dt, name="side_adapter")
+        self.side_adapter = SideAdapterNetwork(cfg=c.san, remat=self.remat,
+                                               dtype=dt, name="side_adapter")
         self.rec_head = CLIPRecHead(
             width=c.san.clip_width, heads=c.san.clip_heads,
             first_layer_idx=c.san.feature_last_layer_idx, total_layers=c.san.clip_layers,
             out_dim=c.san.clip_embed_dim, sos_token_num=c.san.num_queries,
             downsample_method=c.san.rec_downsample_method,
-            cross_attn=c.san.rec_cross_attn, dtype=dt, name="rec_head",
+            cross_attn=c.san.rec_cross_attn, remat=self.remat, dtype=dt,
+            name="rec_head",
         )
-        self.hsa = HighresSideAdaptor(cfg=c.hsa, dtype=dt, name="hsa")
+        self.hsa = HighresSideAdaptor(cfg=c.hsa, remat=self.remat, dtype=dt,
+                                      name="hsa")
         self.lift_fusion = LiftFusion(cfg=c.propagation, fusion_type=c.propagation.fusion_type,
                                       dtype=dt, name="lift_fusion")
         self.alignnet = AlignNet3D(cfg=c.propagation, clip_outdim=c.propagation.clip_proj_dim,
-                                   bn_axis_name=self.bn_axis_name, dtype=dt,
-                                   name="alignnet")
+                                   bn_axis_name=self.bn_axis_name,
+                                   remat=self.remat, dtype=dt, name="alignnet")
         self.lift = LSSLift(
             grid=c.grid, input_size=c.data.input_size, downsample=c.lss_downsample,
             out_channels=c.propagation.dim, ds_feat=c.lss_feat_ds,

@@ -227,6 +227,7 @@ class AlignNet3D(nn.Module):
     cfg: PropagationConfig
     clip_outdim: int
     bn_axis_name: Optional[str] = None
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -237,8 +238,10 @@ class AlignNet3D(nn.Module):
             x = TemporalFusion(self.cfg.dim, seqs=self.cfg.num_temporal - 1,
                                bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                                name="temporal_fusion")(x, occ_feat_prevs, train)
+        res_body = (nn.remat(_Res3DScanBody, prevent_cse=False)
+                    if self.remat else _Res3DScanBody)
         scan = nn.scan(
-            _Res3DScanBody,
+            res_body,
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True},
             length=self.cfg.layer_depth,

@@ -106,6 +106,7 @@ class HighresSideAdaptor(nn.Module):
     """
 
     cfg: HSAConfig
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -128,8 +129,10 @@ class HighresSideAdaptor(nn.Module):
         clip_stack = jnp.stack(
             [clip_feats[str(add_id)] for _blk, _ca, add_id in c.fusion_map], axis=0
         )
+        hsa_body = (nn.remat(_HSAScanBody, prevent_cse=False)
+                    if self.remat else _HSAScanBody)
         scan = nn.scan(
-            _HSAScanBody, variable_axes={"params": 0}, split_rngs={"params": True},
+            hsa_body, variable_axes={"params": 0}, split_rngs={"params": True},
             in_axes=(0,), length=len(c.fusion_map),
         )(dim=c.dim, mlp_dim=c.mlp_dim, clip_dim=c.clip_dim, grid_hw=(gh, gw),
           dtype=self.dtype, name="hsa_blocks")

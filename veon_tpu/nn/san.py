@@ -102,6 +102,7 @@ class SideAdapterNetwork(nn.Module):
     """
 
     cfg: SANConfig
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -150,8 +151,10 @@ class SideAdapterNetwork(nn.Module):
         clip_stack = jnp.stack(
             [clip_feats[str(fusion[i])] for i in fuse_idxs[1:]], axis=0
         )
+        fused_body = (nn.remat(_FusedBlockBody, prevent_cse=False)
+                      if self.remat else _FusedBlockBody)
         fused_scan = nn.scan(
-            _FusedBlockBody, variable_axes={"params": 0},
+            fused_body, variable_axes={"params": 0},
             split_rngs={"params": True}, in_axes=(0, nn.broadcast),
             length=n_fused,
         )(heads=c.side_heads, side_width=c.side_width, num_patches=L,
@@ -161,8 +164,10 @@ class SideAdapterNetwork(nn.Module):
         # segment 2: plain blocks (+pos) up to the second-to-last block
         n_plain = c.side_depth - n_fused - 1
         if n_plain > 0:
+            plain_body = (nn.remat(_PlainBlockBody, prevent_cse=False)
+                          if self.remat else _PlainBlockBody)
             plain_scan = nn.scan(
-                _PlainBlockBody, variable_axes={"params": 0},
+                plain_body, variable_axes={"params": 0},
                 split_rngs={"params": True}, in_axes=(nn.broadcast,),
                 length=n_plain,
             )(heads=c.side_heads, dtype=self.dtype, name="plain_blocks")

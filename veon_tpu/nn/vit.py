@@ -83,11 +83,13 @@ class ScanBlocks(nn.Module):
     block_cls: Any
     block_kwargs: Tuple[Tuple[str, Any], ...]
     length: int
+    remat: bool = False  # recompute blocks in backward (torch checkpoint eq.)
 
     @nn.compact
     def __call__(self, x):
+        body_cls = nn.remat(_ScanBody, prevent_cse=False) if self.remat else _ScanBody
         body = nn.scan(
-            _ScanBody,
+            body_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.length,
@@ -143,6 +145,7 @@ class CLIPVisualExtractor(nn.Module):
     patch_size: int
     pretrain_grid: Tuple[int, int]
     save_layers: Tuple[int, ...] = ()
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -174,7 +177,8 @@ class CLIPVisualExtractor(nn.Module):
         kwargs = (("heads", self.heads), ("dtype", self.dtype))
         for si in range(len(saves) - 1):
             a, b = saves[si], saves[si + 1]
-            x = ScanBlocks(CLIPBlock, kwargs, length=b - a, name=f"segment_{a}_{b}")(x)
+            x = ScanBlocks(CLIPBlock, kwargs, length=b - a, remat=self.remat,
+                           name=f"segment_{a}_{b}")(x)
             save(b, x)
         return feats
 
@@ -278,12 +282,16 @@ class CLIPRecHead(nn.Module):
     sos_token_num: int = 100
     downsample_method: str = "max"
     cross_attn: bool = True  # REC_CROSS_ATTN (san_config.py:48)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
         n = self.total_layers - self.first_layer_idx
+        body_cls = _RecScanBody if self.cross_attn else _RecSelfScanBody
+        if self.remat:
+            body_cls = nn.remat(body_cls, prevent_cse=False)
         scan_cls = nn.scan(
-            _RecScanBody if self.cross_attn else _RecSelfScanBody,
+            body_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, 0),
