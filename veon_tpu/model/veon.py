@@ -164,10 +164,11 @@ class VeonModel(nn.Module):
         h2 = (flat.shape[1] // 2, flat.shape[2] // 2)
         clip_input = resize_bilinear(flat, h2, align_corners=False)
 
-        # 2D stage over all B*F*N images (frozen in training; see train/).
+        # CLIP trunk runs over all B*F*N images (HSA + the rec update need
+        # per-frame features); the SAN decode + rec head run on the CURRENT
+        # frame only — previous frames never consume their outputs
+        # (forward_early, align_net_occ3d.py:268-280, skips the SAN decode).
         clip_feats = self.clip_ext(clip_input)
-        mask_preds, attn_bias, _san_feats = self.side_adapter(flat, clip_feats)
-        mask_embs = self.rec_head(clip_feats, attn_bias, normalize=True)
 
         def frame(x, f):
             return _unflatten_cams(x, B, F, N)[:, f]
@@ -177,6 +178,11 @@ class VeonModel(nn.Module):
 
         def frame_feats(f):
             return {k: frame_flat(v, f) for k, v in clip_feats.items()}
+
+        flat0 = frame_flat(flat, 0) if F > 1 else flat
+        feats0_2d = frame_feats(0) if F > 1 else clip_feats
+        mask_preds, attn_bias, _san_feats = self.side_adapter(flat0, feats0_2d)
+        mask_embs = self.rec_head(feats0_2d, attn_bias, normalize=True)
 
         sensor2keyegos = sensor2keyego_chain(
             metas["sensor2egos"].reshape(B, F * N, 4, 4),
@@ -222,10 +228,10 @@ class VeonModel(nn.Module):
         bin_occ = resize_trilinear(occ["bin_occ"], (nz, ny, nx), align_corners=False)
         sem_occ_raw = jnp.einsum("qc,bzyxc->bzyxq", ov_weight.astype(feat_occ.dtype), feat_occ)
 
-        # 2D outputs for the distillation loss (current frame only)
+        # 2D outputs for the distillation loss (already current-frame only)
         mask_logits = jnp.einsum("bqc,nc->bqn", mask_embs, ov_weight.astype(mask_embs.dtype))
         sem_seg_ds, sem_embed_ds = self.semantic_inference_2d(
-            frame_flat(mask_logits, 0), frame_flat(mask_embs, 0), frame_flat(mask_preds, 0)
+            mask_logits, mask_embs, mask_preds
         )
 
         out = {
