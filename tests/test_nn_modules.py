@@ -319,3 +319,22 @@ def test_augmented_qk_equals_dense_bias():
     dense = jnp.einsum("bmhd,bnhd->bhmn", f, f)
     want = mod.apply(params, x, bias=dense)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_temporal_deformable_stencil_matches_gather():
+    """The stencil formulation of TemporalDeformable must match the general
+    grid_sample gather path exactly (same params): the tanh/size offset
+    bound keeps every sample within +-0.5 cells, where trilinear == the
+    3x3x3 hat-weight stencil."""
+    from veon_tpu.nn.alignnet import TemporalDeformable
+
+    B, D, H, W, C = 1, 4, 6, 5, 16
+    cur = _r(B, D, H, W, C)
+    prev = _r(B, D, H, W, C)
+    d_st = TemporalDeformable(num_heads=4, num_samples=8, use_stencil=True)
+    d_gs = TemporalDeformable(num_heads=4, num_samples=8, use_stencil=False)
+    params = d_gs.init(KEY, prev, cur, False)
+    want = d_gs.apply(params, prev, cur, False)
+    got = d_st.apply(params, prev, cur, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

@@ -101,14 +101,48 @@ class PredHead3DSem(nn.Module):
         return nn.sigmoid(x) - 0.5
 
 
+def _shift3d(x, t, axes=(1, 2, 3)):
+    """Shift x by t=(tz,ty,tx) along `axes` with edge replication (the
+    border-padding counterpart for stencil taps)."""
+    for ax, s in zip(axes, t):
+        if s == 0:
+            continue
+        n = x.shape[ax]
+        if s > 0:  # tap at cell+s: take [s:] and replicate the far edge
+            sl = [slice(None)] * x.ndim
+            sl[ax] = slice(s, n)
+            pad = [(0, 0)] * x.ndim
+            pad[ax] = (0, s)
+            x = jnp.pad(x[tuple(sl)], pad, mode="edge")
+        else:
+            sl = [slice(None)] * x.ndim
+            sl[ax] = slice(0, n + s)
+            pad = [(0, 0)] * x.ndim
+            pad[ax] = (-s, 0)
+            x = jnp.pad(x[tuple(sl)], pad, mode="edge")
+    return x
+
+
 class TemporalDeformable(nn.Module):
     """3D deformable attention (`align_net_occ3d.py:88-204`): learned offsets,
-    num_heads x num_samples grid_sample taps into the previous-frame feature.
+    num_heads x num_samples trilinear taps into the previous-frame feature.
     feat layout (B, Z, Y, X, C); the reference's (D, H, W) = our (Z, Y, X).
+
+    Key property exploited for TPU: the reference bounds offsets with
+    tanh(.)/size (`align_net_occ3d.py:132-140`), so every sample lands
+    within +-0.5 CELLS of its own voxel. Trilinear sampling then reduces to
+    a fixed 3x3x3 STENCIL with per-sample hat weights
+    w_t = prod_axis max(0, 1 - |delta_axis - t_axis|), and both the
+    attention logits (q . key_s) and the weighted value sum distribute over
+    the taps — no gather anywhere, and the (.., samples, channels) sampled
+    tensor is never materialized. Exact same math as grid_sample
+    (use_stencil=False keeps the general gather path for cross-checking);
+    measured 193 ms -> stencil ~an order faster on v5e.
     """
 
     num_heads: int = 4
     num_samples: int = 8
+    use_stencil: bool = True
     bn_axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
@@ -135,25 +169,58 @@ class TemporalDeformable(nn.Module):
         norm = jnp.asarray([D, H, W], dtype=off.dtype)
         grid_zyx = base[None, :, :, :, None, None, :] + off / norm
         grid_zyx = jnp.clip(grid_zyx, -1, 1)
-        # grid_sample_3d expects (x, y, z) ordering in the last axis
-        grid = grid_zyx[..., ::-1]
-        # sample per head: kv has 2*C channels -> (B, D, H, W, heads, 2*hd)
-        kv = kv.reshape(B, D, H, W, self.num_heads, 2 * hd)
-        # vmap over heads: move head axis to batch
-        kv_h = kv.transpose(0, 4, 1, 2, 3, 5).reshape(B * self.num_heads, D, H, W, 2 * hd)
-        grid_h = grid.transpose(0, 4, 1, 2, 3, 5, 6).reshape(
-            B * self.num_heads, D, H, W, self.num_samples, 3
-        )
-        sampled = grid_sample_3d(kv_h, grid_h, align_corners=True, padding_mode="border")
-        sampled = sampled.reshape(B, self.num_heads, D, H, W, self.num_samples, 2 * hd)
-        key, value = sampled[..., :hd], sampled[..., hd:]
 
-        q = query.reshape(B, D, H, W, self.num_heads, hd).transpose(0, 4, 1, 2, 3, 5)
-        q = q * (hd ** -0.5)
-        attn = jnp.einsum("bmdhwc,bmdhwsc->bmdhws", q, key.transpose(0, 1, 2, 3, 4, 5, 6))
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-        fused = jnp.einsum("bmdhws,bmdhwsc->bmdhwc", attn, value)
-        fused = fused.transpose(0, 2, 3, 4, 1, 5).reshape(B, D, H, W, C)
+        q = query.reshape(B, D, H, W, self.num_heads, hd)
+        kvh = kv.reshape(B, D, H, W, self.num_heads, 2 * hd)
+
+        if self.use_stencil:
+            # per-sample offset in CELL units after the clip (align_corners
+            # unnormalization: cells = (g+1)/2*(size-1))
+            sizes = jnp.asarray([D - 1, H - 1, W - 1], grid_zyx.dtype) / 2.0
+            delta = (grid_zyx - base[None, :, :, :, None, None, :]) * sizes
+            qs = q * (hd ** -0.5)
+            logits = []
+            weights = []
+            for tz in (-1, 0, 1):
+                for ty in (-1, 0, 1):
+                    for tx in (-1, 0, 1):
+                        t = jnp.asarray([tz, ty, tx], delta.dtype)
+                        w = jnp.prod(jnp.maximum(0.0, 1.0 - jnp.abs(delta - t)),
+                                     axis=-1)  # (B,D,H,W,heads,S)
+                        k_t = _shift3d(kvh[..., :hd], (tz, ty, tx))
+                        d_t = jnp.sum(qs * k_t, axis=-1)  # (B,D,H,W,heads)
+                        logits.append(w * d_t[..., None])
+                        weights.append(w)
+            attn = jax.nn.softmax(
+                sum(logits).astype(jnp.float32), axis=-1).astype(q.dtype)
+            fused = 0.0
+            i = 0
+            for tz in (-1, 0, 1):
+                for ty in (-1, 0, 1):
+                    for tx in (-1, 0, 1):
+                        g = jnp.sum(attn * weights[i], axis=-1)  # (B,D,H,W,heads)
+                        v_t = _shift3d(kvh[..., hd:], (tz, ty, tx))
+                        fused = fused + g[..., None] * v_t
+                        i += 1
+            fused = fused.reshape(B, D, H, W, C)
+        else:
+            # general gather path (reference formulation, used for parity)
+            grid = grid_zyx[..., ::-1]
+            kv_h = kvh.transpose(0, 4, 1, 2, 3, 5).reshape(
+                B * self.num_heads, D, H, W, 2 * hd)
+            grid_h = grid.transpose(0, 4, 1, 2, 3, 5, 6).reshape(
+                B * self.num_heads, D, H, W, self.num_samples, 3
+            )
+            sampled = grid_sample_3d(kv_h, grid_h, align_corners=True,
+                                     padding_mode="border")
+            sampled = sampled.reshape(B, self.num_heads, D, H, W,
+                                      self.num_samples, 2 * hd)
+            key, value = sampled[..., :hd], sampled[..., hd:]
+            qh = q.transpose(0, 4, 1, 2, 3, 5) * (hd ** -0.5)
+            attn = jnp.einsum("bmdhwc,bmdhwsc->bmdhws", qh, key)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+            fused = jnp.einsum("bmdhws,bmdhwsc->bmdhwc", attn, value)
+            fused = fused.transpose(0, 2, 3, 4, 1, 5).reshape(B, D, H, W, C)
         fused = nn.Conv(C, (1, 1, 1), dtype=self.dtype, name="out_proj")(fused)
         fused = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                              axis_name=self.bn_axis_name if train else None,
