@@ -74,6 +74,56 @@ def test_dataset_to_train_step(fixture):
     assert np.isfinite(float(losses["loss_total"]))
 
 
+def test_distill_gradient_reaches_semantic_branch():
+    """The 2D->3D distillation loss must produce NONZERO gradients through
+    the trainable semantic branch (HSA -> sem_seg_ds, alignnet -> feat_occ).
+    Guards the dryrun's claim: with an inconsistent camera rig no voxel
+    projects in-image, loss_featalign_soft == 0 exactly, and this whole
+    backward path is silently dark (round-1 VERDICT weakness #2)."""
+    import dataclasses
+
+    from veon_tpu.cli.shapes import example_batch
+    from veon_tpu.train.losses import occupancy_loss
+
+    cfg = presets.veon_tiny_test()
+    model = VeonModel(cfg=cfg)
+    imgs, depth, metas = example_batch(cfg, B=1)
+    prompts, refl = text_mod.build_vocabulary(cfg.vocabulary)
+    rng = np.random.default_rng(5)
+    ovw = jnp.asarray(rng.standard_normal(
+        (len(prompts) + 1, cfg.san.clip_embed_dim)).astype(np.float32))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), imgs, depth, metas, ovw, train=True)
+    membership = text_mod.merge_matrix(refl)
+    nx, ny, nz = cfg.grid.size
+    vs = jnp.asarray(rng.integers(0, 18, size=(1, nx, ny, nz)).astype(np.int32))
+    mask = jnp.ones((1, nx, ny, nz), jnp.int32)
+
+    def loss_fn(params):
+        outputs, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            imgs, depth, metas, ovw, train=True, mutable=["batch_stats"])
+        losses = occupancy_loss(
+            outputs, vs, mask, metas, ovw, membership, cfg.grid,
+            cfg.data.input_size, jnp.asarray(0, jnp.int32), cfg.loss)
+        return losses["loss_featalign_soft"], losses
+
+    (soft, losses), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+        variables["params"])
+    assert float(soft) > 0.0, dict(losses)
+
+    import optax
+
+    def gnorm(tree):
+        return float(optax.global_norm(tree))
+
+    # sem_seg_ds path: HSA emits the attention biases consumed by the rec
+    # head; feat_occ path: alignnet + lift_fusion.
+    for key in ("hsa", "alignnet", "lift_fusion"):
+        assert key in grads, list(grads)
+        assert gnorm(grads[key]) > 0.0, f"zero grad through {key}"
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from veon_tpu.ckpt.io import find_latest, load_checkpoint, save_checkpoint
 
