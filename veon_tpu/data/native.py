@@ -1,0 +1,149 @@
+"""ctypes binding for the native C++ data plane (veon_tpu/native/depth_proj.cpp).
+
+The reference keeps its only native code on the accelerator (bev_pool CUDA);
+on TPU the accelerator op is Pallas, and the native speed win moves to the
+HOST data plane instead: LiDAR->camera depth projection (the per-sample
+dataloader hot loop, `loading.py:729-835`) and the LSS accelerate-mode voxel
+rank precompute (`view_transformer_raw.py:304-332`). Built on demand with
+g++ into veon_tpu/native/build/ (gitignored); callers fall back to numpy when
+no toolchain is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "native", "depth_proj.cpp")
+_BUILD_DIR = os.path.join(os.path.dirname(__file__), "..", "native", "build")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        src = os.path.abspath(_SRC)
+        if not os.path.exists(src):
+            return None
+        so = os.path.join(os.path.abspath(_BUILD_DIR), "libveon_native.so")
+        try:
+            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+                os.makedirs(os.path.dirname(so), exist_ok=True)
+                tmp = so + f".tmp{os.getpid()}"
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
+                    check=True, capture_output=True, timeout=120,
+                )
+                os.replace(tmp, so)  # atomic vs concurrent builders
+            lib = ctypes.CDLL(so)
+        except (OSError, subprocess.SubprocessError):
+            return None
+        lib.veon_points_to_depth.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.veon_points_to_depth.restype = None
+        lib.veon_voxel_ranks.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.veon_voxel_ranks.restype = None
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    """True when the native library is built and loadable."""
+    return _load() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def points_to_depth_native(
+    points: np.ndarray,
+    lidar2img: np.ndarray,
+    post_rots: np.ndarray,
+    post_trans: np.ndarray,
+    hw: Tuple[int, int],
+    depth_range: Tuple[float, float],
+    downsample: int = 1,
+) -> Optional[np.ndarray]:
+    """All-camera LiDAR depth projection; None when the library is absent.
+
+    Args:
+      points: (P, >=3) lidar xyz; lidar2img: (N, 4, 4);
+      post_rots: (N, 3, 3); post_trans: (N, 3); hw: full-res (H, W).
+
+    Returns (N, H/ds, W/ds) float32 min-depth maps.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    H, W = hw
+    pts = np.ascontiguousarray(points[:, :3], np.float32)
+    l2i = np.ascontiguousarray(lidar2img, np.float32)
+    pr = np.ascontiguousarray(post_rots, np.float32)
+    pt = np.ascontiguousarray(post_trans, np.float32)
+    N = l2i.shape[0]
+    out = np.zeros((N, H // downsample, W // downsample), np.float32)
+    lib.veon_points_to_depth(
+        _fptr(pts), ctypes.c_int64(pts.shape[0]), _fptr(l2i), _fptr(pr),
+        _fptr(pt), N, H, W, downsample,
+        ctypes.c_float(depth_range[0]), ctypes.c_float(depth_range[1]),
+        _fptr(out),
+    )
+    return out
+
+
+def voxel_ranks_native(
+    coor: np.ndarray,
+    lower_bound: Sequence[float],
+    interval: Sequence[float],
+    size: Sequence[int],
+) -> Optional[np.ndarray]:
+    """Host-side voxel rank precompute matching geometry.frustum.voxel_ranks.
+
+    coor: (B, ..., 3) ego xyz; the leading axis is the batch. Valid points get
+    rank = b*nvox + flat_voxel; out-of-grid points get B*nvox (the overflow
+    cell the pooling op drops).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    nx, ny, nz = [int(s) for s in size]
+    nvox = nx * ny * nz
+    coor = np.ascontiguousarray(coor, np.float32)
+    B = coor.shape[0]
+    lb = np.ascontiguousarray(lower_bound, np.float32)
+    iv = np.ascontiguousarray(interval, np.float32)
+    out = np.empty(coor.shape[:-1], np.int32)
+    for b in range(B):
+        flat = np.ascontiguousarray(coor[b].reshape(-1, 3))
+        ranks = np.empty(flat.shape[0], np.int32)
+        lib.veon_voxel_ranks(
+            _fptr(flat), ctypes.c_int64(flat.shape[0]), _fptr(lb), _fptr(iv),
+            nx, ny, nz, 0, ranks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        overflow = ranks == nvox
+        ranks += b * nvox
+        ranks[overflow] = B * nvox
+        out[b] = ranks.reshape(coor.shape[1:-1])
+    return out
