@@ -198,6 +198,99 @@ def test_lss_lift_ds_maxpool_shape():
     assert vox.shape == (B, 2, 4, 4, 3)
 
 
+def test_banded_two_hot_matches_full():
+    """banded_two_hot_with_floor is an EXACT decomposition of the full
+    softmax: in-band bins carry exp(gap)/Z, every out-of-band bin carries the
+    clamped floor exp(-16)/Z — incl. depths below d0, beyond d1 (where the
+    distribution degenerates toward uniform 1/(D+1)), and at band-clip
+    edges."""
+    from veon_tpu.lift.lss import banded_two_hot_with_floor
+
+    grid = GridConfig(x=(-40, 40, 8.0), y=(-40, 40, 8.0), z=(-1, 3, 1.0),
+                      depth=(1.0, 45.0, 0.5))
+    D = grid.num_depth_bins
+    rng = np.random.default_rng(11)
+    depth = np.concatenate([
+        rng.uniform(1.0, 44.0, size=(1, 1, 2, 13)),
+        np.array([0.3, 1.0, 4.9, 44.9, 45.3, 60.0, 80.0, 2.501, 42.499,
+                  47.0, 48.9, 49.25, 22.0]).reshape(1, 1, 1, 13),
+    ], axis=2).astype(np.float32)
+    w, bins, floor = banded_two_hot_with_floor(jnp.asarray(depth), grid, K=17)
+    assert w.shape == depth.shape + (17,)
+    dense = np.broadcast_to(np.asarray(floor)[..., None],
+                            depth.shape + (D + 1,)).copy()
+    np.put_along_axis(dense, np.asarray(bins), np.asarray(w), axis=-1)
+    want = _torch_two_hot(depth, grid)  # (..., D, h, w) plane-major
+    got = np.moveaxis(dense[..., :D], -1, -3)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-9)
+    # total probability (incl. the dropped overflow bin) is conserved
+    np.testing.assert_allclose(dense.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_banded_lift_matches_full_lift():
+    """lift_from_metric (banded + pixel-ray geometry + banded pallas pool)
+    vs the reference-faithful full path (two_hot + frustum + scan pool)."""
+    import dataclasses
+
+    grid = GridConfig(x=(-40, 40, 8.0), y=(-40, 40, 8.0), z=(-1, 3, 1.0),
+                      depth=(1.0, 45.0, 0.5))
+    B, N = 1, 3
+    lift = LSSLift(grid=grid, input_size=(16, 32), downsample=4,
+                   out_channels=5, ds_feat=(1, 1, 1), impl="scan")
+    s2e, K, post_rot, post_tran, bda = _identity_metas(B, N)
+    rng = np.random.default_rng(13)
+    # ringed cameras + mild aug so the geometry chain is non-trivial
+    for n in range(N):
+        th = 2 * np.pi * n / N
+        c, s = np.cos(th), np.sin(th)
+        s2e[:, n, :3, :3] = np.array(
+            [[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float32)
+        s2e[:, n, :3, :3] = np.array(
+            [[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32) @ s2e[:, n, :3, :3]
+        s2e[:, n, :3, 3] = (0.5 * c, 0.5 * s, 1.5)
+    post_rot[:, :, :2, :2] *= 0.5
+    post_tran[:, :, :2] = rng.normal(0, 1, size=(B, N, 2)).astype(np.float32)
+    feat = jnp.asarray(rng.standard_normal((B, N, 4, 8, 5)).astype(np.float32))
+    metric = jnp.asarray(rng.uniform(1.5, 50.0, size=(B, N, 4, 8)).astype(np.float32))
+    args = (jnp.asarray(s2e), jnp.asarray(K), jnp.asarray(post_rot),
+            jnp.asarray(post_tran), jnp.asarray(bda))
+    want = lift(feat, two_hot_depth(metric, grid), *args)
+    got = lift.lift_from_metric(feat, metric, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    # without the far spray the >46m uniform ray mass is (documentedly) lost
+    lift_ns = dataclasses.replace(lift, far_spray=False)
+    got_ns = np.asarray(lift_ns.lift_from_metric(feat, metric, *args))
+    assert np.abs(got_ns - np.asarray(want)).max() > 1e-3
+
+
+def test_banded_lift_gradients_match_full():
+    """d(out)/d(feat) through the banded custom VJP equals the full path's."""
+    grid = GridConfig(x=(-40, 40, 8.0), y=(-40, 40, 8.0), z=(-1, 3, 1.0),
+                      depth=(1.0, 45.0, 0.5))
+    B, N = 1, 2
+    lift = LSSLift(grid=grid, input_size=(16, 16), downsample=4,
+                   out_channels=3, ds_feat=(1, 1, 1), impl="scan")
+    s2e, K, post_rot, post_tran, bda = _identity_metas(B, N)
+    rng = np.random.default_rng(17)
+    feat = jnp.asarray(rng.standard_normal((B, N, 4, 4, 3)).astype(np.float32))
+    # up to 55 m so some pixels exercise the spray pool's VJP too
+    metric = jnp.asarray(rng.uniform(1.5, 55.0, size=(B, N, 4, 4)).astype(np.float32))
+    args = (jnp.asarray(s2e), jnp.asarray(K), jnp.asarray(post_rot),
+            jnp.asarray(post_tran), jnp.asarray(bda))
+
+    def loss_full(f):
+        return jnp.sum(lift(f, two_hot_depth(metric, grid), *args) ** 2)
+
+    def loss_banded(f):
+        return jnp.sum(lift.lift_from_metric(f, metric, *args) ** 2)
+
+    g_full = jax.grad(loss_full)(feat)
+    g_banded = jax.grad(loss_banded)(feat)
+    np.testing.assert_allclose(np.asarray(g_banded), np.asarray(g_full),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_absolute_depth_and_sid():
     from veon_tpu.lift.lss import absolute_depth_from_bins, sid_depth_values
     from veon_tpu.geometry.frustum import create_frustum

@@ -283,6 +283,10 @@ class VeonConfig:
     lss_feat_ds: Tuple[int, int, int] = (2, 2, 2)  # (z, h, w)
     lss_out_channels: int = 256
     lss_downsample: int = 16
+    # banded exact two-hot lift (lift.lss.lift_from_metric): stream only the
+    # K bins around the metric depth instead of all D — exact at the two-hot
+    # defaults, ~D/K cheaper, and free of the valid-cap silent-drop hazard
+    lss_banded: bool = True
     num_temporal: int = 1
     vocabulary: str = "nuscenes_brief"
 

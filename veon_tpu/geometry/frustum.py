@@ -95,6 +95,53 @@ def frustum_to_ego(
     return pts
 
 
+def pixel_ray_geometry(
+    input_size: Tuple[int, int],
+    downsample: int,
+    sensor2ego: jnp.ndarray,
+    cam2img: jnp.ndarray,
+    post_rot: jnp.ndarray,
+    post_tran: jnp.ndarray,
+    bda: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel ray decomposition: ego xyz of a frustum point at metric
+    depth d is `d * dirs[..., u, v, :] + origin[..., None, None, :]`.
+
+    Exploits that `get_lidar_coor` (`view_transformer_raw.py:121-158`) is
+    affine in depth once the aug homography's third row/col are identity
+    (they are: `img_transform` embeds a 2D homography, loading.py:1149-1156):
+      undo-aug maps (u, v) -> (a, b) independent of d, unprojection gives
+      d*(a, b, 1), and cam->ego / BDA are affine. Computing (dirs, origin)
+      once per pixel instead of the full (D, Hf, Wf) frustum cuts the
+      geometry work D-fold — the enabler for the banded two-hot lift.
+
+    Returns:
+      dirs: (B, N, Hf, Wf, 3); origin: (B, N, 3).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    h_in, w_in = input_size
+    hf, wf = h_in // downsample, w_in // downsample
+    xs = np.linspace(0, w_in - 1, wf, dtype=np.float32)
+    ys = np.linspace(0, h_in - 1, hf, dtype=np.float32)
+    uv = np.empty((hf, wf, 2), np.float32)
+    uv[..., 0] = xs[None, :]
+    uv[..., 1] = ys[:, None]
+    uv = jnp.asarray(uv)
+    p2 = uv[None, None] - post_tran[:, :, None, None, :2]
+    inv2 = jnp.linalg.inv(post_rot[:, :, :2, :2])
+    ab = jnp.einsum("bnij,bnhwj->bnhwi", inv2, p2, precision=hi)
+    vec = jnp.concatenate([ab, jnp.ones_like(ab[..., :1])], axis=-1)
+    combine = jnp.einsum(
+        "bij,bnjk,bnkl->bnil", bda, sensor2ego[:, :, :3, :3],
+        jnp.linalg.inv(cam2img), precision=hi,
+    )
+    dirs = jnp.einsum("bnij,bnhwj->bnhwi", combine, vec, precision=hi)
+    origin = jnp.einsum(
+        "bij,bnj->bni", bda, sensor2ego[:, :, :3, 3], precision=hi
+    )
+    return dirs, origin
+
+
 def voxel_ranks(
     coor_ego: jnp.ndarray, grid: GridConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -17,8 +17,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs.base import GridConfig
-from ..geometry.frustum import create_frustum, frustum_to_ego, voxel_ranks
-from ..ops.bev_pool import bev_pool, bev_pool_pallas
+from ..geometry.frustum import (create_frustum, frustum_to_ego,
+                                pixel_ray_geometry, voxel_ranks)
+from ..ops.bev_pool import (bev_pool, bev_pool_pallas, bev_pool_pallas_banded,
+                            bev_pool_pallas_banded2)
 
 
 def min_pool_depth(depth: jnp.ndarray, downsample: int) -> jnp.ndarray:
@@ -84,6 +86,56 @@ def two_hot_depth(depth: jnp.ndarray, grid: GridConfig, gamma: float = 4.0) -> j
     return jnp.moveaxis(dist, -1, -3)
 
 
+def banded_two_hot(
+    depth: jnp.ndarray, grid: GridConfig, K: int, gamma: float = 4.0,
+    min_gap: float = -16.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-hot depth weights restricted to K consecutive bins — EXACT.
+
+    `get_two_hot_depth` clamps the softmax logits at -16, so every bin whose
+    center is farther than |min_gap|/gamma (= 4 m at the defaults, i.e. 8
+    bins) from the metric depth contributes exactly exp(-16)/Z. A band of
+    K >= 2*ceil(|min_gap|/(gamma*dd)) + 1 consecutive bins centered on the
+    nearest bin therefore contains every unclamped bin, and the softmax
+    normalizer over all D+1 bins is the banded sum plus
+    (D+1-K)*exp(min_gap) analytically. This cuts the entire lift pipeline
+    (geometry, weights, sort, gather, kernel stream) D/K-fold with zero
+    approximation.
+
+    Args:
+      depth: (..., h, w) metric depth.
+    Returns:
+      weights: (..., h, w, K) bin probabilities;
+      bins: (..., h, w, K) int32 bin indices in [0, D] (D = overflow bin,
+        whose mass the reference drops — callers must mask it).
+    """
+    w, bins, _ = banded_two_hot_with_floor(depth, grid, K, gamma, min_gap)
+    return w, bins
+
+
+def banded_two_hot_with_floor(
+    depth: jnp.ndarray, grid: GridConfig, K: int, gamma: float = 4.0,
+    min_gap: float = -16.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """banded_two_hot plus the per-pixel floor weight exp(min_gap)/Z that
+    every OUT-of-band bin carries in the full softmax (its clamped value).
+    The exact decomposition used by the banded lift:
+      full[j] = banded[j] for j in band, floor for j outside.
+    """
+    D = grid.num_depth_bins
+    d0, _, dd = grid.depth
+    K = min(K, D + 1)
+    i_near = jnp.round((depth - (d0 + dd / 2)) / dd)
+    i0 = jnp.clip(i_near - (K - 1) // 2, 0, D + 1 - K).astype(jnp.int32)
+    bins = i0[..., None] + jnp.arange(K, dtype=jnp.int32)
+    centers = bins.astype(depth.dtype) * dd + (d0 + dd / 2)
+    gap = -jnp.abs(depth[..., None] - centers) * gamma
+    gap = jnp.where(gap >= min_gap, gap, gap + jax.lax.stop_gradient(min_gap - gap))
+    e = jnp.exp(gap)
+    z = jnp.sum(e, axis=-1, keepdims=True) + (D + 1 - K) * np.exp(min_gap)
+    return e / z, bins, np.exp(min_gap) / z[..., 0]
+
+
 def one_hot_depth(depth: jnp.ndarray, grid: GridConfig) -> jnp.ndarray:
     """Hard one-hot depth distribution (`get_one_hot_depth`, :431-456)."""
     D = grid.num_depth_bins
@@ -129,6 +181,17 @@ class LSSLift:
     ds_feat: Tuple[int, int, int] = (2, 2, 2)  # (z, h, w) output max-pool
     impl: str = "pallas"  # "pallas" (sorted MXU kernel) | "scan" (XLA scatter)
     valid_cap: float = 0.35  # see ops.bev_pool.bev_pool_pallas
+    # K-banded exact two-hot lift (lift_from_metric): bins per pixel.
+    # 17 = 2*|MIN_GAP|/(gamma*dd) + 1 covers every unclamped bin at the
+    # defaults, making the banded softmax exactly the full one.
+    band_k: int = 17
+    # Far-depth spray: past ~46 m predicted depth the clamped softmax puts
+    # non-negligible uniform mass exp(-16)/Z on EVERY bin along the ray (at
+    # d > 49.25 m it is exactly uniform 1/(D+1)); a second sparse pool
+    # reproduces it exactly where it exceeds spray_eps of total mass.
+    far_spray: bool = True
+    spray_eps: float = 1e-6  # per-bin floor-weight threshold for spraying
+    spray_cap: float = 0.25  # valid-prefix cap for the sparse spray pool
 
     def precompute_ranks(self, sensor2ego, cam2img, post_rot, post_tran, bda):
         """The "accelerate" mode (`view_transformer_raw.py:196-215, 304-332`):
@@ -176,9 +239,89 @@ class LSSLift:
                                   self.valid_cap)  # (B, Z, Y, X, C)
         else:
             vox = bev_pool(depth, feat, ranks, self.grid.size)
+        return self._ds_pool(vox)
+
+    def _ds_pool(self, vox: jnp.ndarray) -> jnp.ndarray:
         dz, dh, dw = self.ds_feat
         if (dz, dh, dw) != (1, 1, 1):
             B, Z, Y, X, C = vox.shape
             vox = vox.reshape(B, Z // dz, dz, Y // dh, dh, X // dw, dw, C)
             vox = jnp.max(vox, axis=(2, 4, 6))
         return vox
+
+    def lift_from_metric(
+        self,
+        feat: jnp.ndarray,
+        metric_depth: jnp.ndarray,
+        sensor2ego: jnp.ndarray,
+        cam2img: jnp.ndarray,
+        post_rot: jnp.ndarray,
+        post_tran: jnp.ndarray,
+        bda: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Banded lift straight from metric depth — exact two_hot semantics
+        at ~K/D of the cost.
+
+        Decomposition (all terms exact, see banded_two_hot_with_floor):
+          * main pool: the K bins around the metric depth carry
+            exp(gap)/Z; out-of-band bins carry the clamped floor exp(-16)/Z.
+          * spray pool: where the floor exceeds spray_eps (predicted depth
+            past ~46 m, where the reference's softmax degenerates toward a
+            uniform ray spray), a second sparse pool deposits the floor on
+            ALL D bins and the main weights are reduced by it in-band.
+          Floors below spray_eps (< 1e-6 of mass per bin) are dropped.
+
+        The main pool has NO valid-cap — nothing can be silently dropped
+        (unlike `__call__`'s capped prefix); the spray pool's cap is sized
+        for its sparse point set (in-grid points of far-depth pixels only).
+
+        Args:
+          feat: (B, N, h, w, C); metric_depth: (B, N, h, w) at the LSS
+            feature grid resolution (already min-pooled).
+          metas as in __call__.
+        Returns (B, Z', Y', X', C) after the ds max-pool.
+        """
+        D = self.grid.num_depth_bins
+        d0, _, dd = self.grid.depth
+        weights, bins, floor = banded_two_hot_with_floor(
+            metric_depth, self.grid, self.band_k
+        )
+        dirs, origin = pixel_ray_geometry(
+            self.input_size, self.downsample, sensor2ego, cam2img,
+            post_rot, post_tran, bda,
+        )
+
+        def ranks_at(depth_vals):
+            """Voxel ranks of per-pixel ray points at the given bin depths
+            (frustum planes sit at the bin LOWER edges d0 + k*dd,
+            create_frustum / view_transformer_raw.py:102-106)."""
+            coor = (depth_vals[..., None] * dirs[:, :, :, :, None, :]
+                    + origin[:, :, None, None, None, :])
+            return voxel_ranks(coor, self.grid)[0]
+
+        num_cells = feat.shape[0] * int(np.prod(self.grid.size))
+        ranks = ranks_at(bins.astype(jnp.float32) * dd + d0)
+        # the overflow bin (index D) is dropped by the reference's
+        # dist[..., :D]; route its mass to the overflow cell
+        ranks = jnp.where(bins >= D, num_cells, ranks)
+        spraying = self.far_spray and self.band_k < D + 1
+        if not spraying:
+            vox = bev_pool_pallas_banded(
+                weights.astype(feat.dtype), feat, ranks, self.grid.size
+            )
+            return self._ds_pool(vox)
+        spray_px = floor >= self.spray_eps  # (B, N, h, w)
+        weights = weights - jnp.where(spray_px, floor, 0.0)[..., None]
+        all_bins = jnp.arange(D, dtype=jnp.float32)
+        shape = metric_depth.shape + (D,)
+        ranks_f = ranks_at(jnp.broadcast_to(all_bins * dd + d0, shape))
+        ranks_f = jnp.where(spray_px[..., None], ranks_f, num_cells)
+        spray_w = jnp.broadcast_to(
+            jnp.where(spray_px, floor, 0.0)[..., None], shape
+        )
+        vox = bev_pool_pallas_banded2(
+            weights.astype(feat.dtype), feat, ranks,
+            spray_w.astype(feat.dtype), ranks_f, self.grid.size,
+            self.spray_cap,
+        )
+        return self._ds_pool(vox)

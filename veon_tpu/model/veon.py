@@ -200,12 +200,14 @@ class VeonModel(nn.Module):
             fused = fused.reshape((B, N) + fused.shape[1:])
             d = depth[:, f]  # (B, N, h2, w2)
             d_ds = min_pool_depth(d, 8)
-            d_two_hot = two_hot_depth(d_ds, c.grid)
-            vox = self.lift(
-                fused, d_two_hot,
+            lift_args = (
                 sensor2keyegos[:, f], metas["intrins"][:, f],
                 metas["post_rots"][:, f], metas["post_trans"][:, f], metas["bda"],
             )
+            if c.lss_banded:
+                vox = self.lift.lift_from_metric(fused, d_ds, *lift_args)
+            else:
+                vox = self.lift(fused, two_hot_depth(d_ds, c.grid), *lift_args)
             return vox, feats_f
 
         # previous frames -> aligned early occ features (no gradient)

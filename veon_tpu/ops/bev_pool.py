@@ -91,37 +91,54 @@ BEV_POOL_BLOCK_CELLS = 1024
 BEV_POOL_CHUNK = 512
 
 
-def _bev_pool_block_kernel(starts_ref, vals_hbm, rk_hbm, out_ref, acc_ref,
-                           vals_buf, rk_buf, sem_vals, sem_rk):
-    """One output cell block, two HBM streams: vals rows stay in the caller's
-    dtype (bf16 in production — half the bytes of an fp32 stream) and the
-    sorted rank rides a separate int32 lane group. Chunk DMAs start on
-    CHUNK-aligned global offsets so the HBM slices stay tile-aligned; rows
-    outside [s0, s1) are masked off (adjacent blocks may re-read a boundary
-    chunk).
+def _accum_stream(t, s0, s1, vals_hbm, rk_hbm, acc_ref, vals_buf, rk_buf,
+                  sem_vals, sem_rk):
+    """Accumulate one sorted point stream's [s0, s1) rows into acc_ref via
+    one-hot MXU matmuls, with DOUBLE-BUFFERED chunk DMAs (the kernel is
+    latency-bound otherwise: ~7us per serialized chunk vs ~3us pipelined).
+    Chunk DMAs start on CHUNK-aligned global offsets so the HBM slices stay
+    tile-aligned; rows outside [s0, s1) are masked off (adjacent blocks may
+    re-read a boundary chunk). Empty blocks (s1 == s0) issue no DMA at all.
     """
-    t = pl.program_id(0)
-    s0 = starts_ref[t]
-    s1 = starts_ref[t + 1]
-    acc_ref[:] = jnp.zeros_like(acc_ref)
     base = (s0 // BEV_POOL_CHUNK) * BEV_POOL_CHUNK
     n_chunks = (s1 - base + BEV_POOL_CHUNK - 1) // BEV_POOL_CHUNK
 
-    def body(i, _):
+    def start(i, slot):
         off = base + i * BEV_POOL_CHUNK
-        cpv = pltpu.make_async_copy(
-            vals_hbm.at[pl.ds(off, BEV_POOL_CHUNK)], vals_buf, sem_vals
-        )
-        cpr = pltpu.make_async_copy(
-            rk_hbm.at[pl.ds(off, BEV_POOL_CHUNK)], rk_buf, sem_rk
-        )
-        cpv.start()
-        cpr.start()
-        cpr.wait()
-        cpv.wait()
-        row = jax.lax.broadcasted_iota(jnp.int32, (BEV_POOL_CHUNK, BEV_POOL_BLOCK_CELLS), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (BEV_POOL_CHUNK, BEV_POOL_BLOCK_CELLS), 1)
-        local = rk_buf[:, :1] - t * BEV_POOL_BLOCK_CELLS
+        pltpu.make_async_copy(
+            vals_hbm.at[pl.ds(off, BEV_POOL_CHUNK)], vals_buf.at[slot],
+            sem_vals.at[slot],
+        ).start()
+        pltpu.make_async_copy(
+            rk_hbm.at[pl.ds(off, BEV_POOL_CHUNK)], rk_buf.at[slot],
+            sem_rk.at[slot],
+        ).start()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        start(0, 0)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        off = base + i * BEV_POOL_CHUNK
+        pltpu.make_async_copy(
+            vals_hbm.at[pl.ds(off, BEV_POOL_CHUNK)], vals_buf.at[slot],
+            sem_vals.at[slot],
+        ).wait()
+        pltpu.make_async_copy(
+            rk_hbm.at[pl.ds(off, BEV_POOL_CHUNK)], rk_buf.at[slot],
+            sem_rk.at[slot],
+        ).wait()
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            start(i + 1, 1 - slot)
+
+        row = jax.lax.broadcasted_iota(
+            jnp.int32, (BEV_POOL_CHUNK, BEV_POOL_BLOCK_CELLS), 0)
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (BEV_POOL_CHUNK, BEV_POOL_BLOCK_CELLS), 1)
+        local = rk_buf[slot, :, :1] - t * BEV_POOL_BLOCK_CELLS
         gid = row + off
         valid = (gid >= s0) & (gid < s1)
         # one-hot is exactly representable in any float dtype; match the
@@ -130,28 +147,47 @@ def _bev_pool_block_kernel(starts_ref, vals_hbm, rk_hbm, out_ref, acc_ref,
         mm_dtype = vals_buf.dtype
         onehot = jnp.where((col == local) & valid, 1.0, 0.0).astype(mm_dtype)
         acc_ref[:] += jax.lax.dot_general(
-            onehot, vals_buf[...],
+            onehot, vals_buf[slot],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return _
 
     jax.lax.fori_loop(0, n_chunks, body, None)
+
+
+def _bev_pool_block_kernel(starts_ref, vals_hbm, rk_hbm, out_ref, acc_ref,
+                           vals_buf, rk_buf, sem_vals, sem_rk):
+    """One output cell block, two HBM streams: vals rows stay in the caller's
+    dtype (bf16 in production — half the bytes of an fp32 stream) and the
+    sorted rank rides a separate int32 lane group."""
+    t = pl.program_id(0)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    _accum_stream(t, starts_ref[t], starts_ref[t + 1], vals_hbm, rk_hbm,
+                  acc_ref, vals_buf, rk_buf, sem_vals, sem_rk)
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _bev_pool_sorted_pallas(rk_sorted, vals_sorted, num_cells, out_dtype):
-    """Sorted (P,) ranks + (P, C) weighted values -> (num_cells, C)."""
-    P, C = vals_sorted.shape
-    # Mosaic wants 128-aligned lane counts; pad the channel dim up
-    # (free for the flagship's C=256)
-    Cp = -(-C // 128) * 128
-    if Cp != C:
-        vals_sorted = jnp.pad(vals_sorted, ((0, 0), (0, Cp - C)))
-    n_blocks = (num_cells + BEV_POOL_BLOCK_CELLS - 1) // BEV_POOL_BLOCK_CELLS
-    v_pad = n_blocks * BEV_POOL_BLOCK_CELLS
-    # pad the point stream tail so chunk DMAs never run off the end; tail
-    # ranks point at the (sliced-off) overflow region
+def _bev_pool_block_kernel2(starts_ref, starts2_ref, vals_hbm, rk_hbm,
+                            vals2_hbm, rk2_hbm, out_ref, acc_ref,
+                            vals_buf, rk_buf, sem_vals, sem_rk):
+    """Two-stream variant: accumulates two independently sorted point streams
+    (the banded main stream + the far-depth spray) into ONE output block,
+    saving a second 640k x C output write plus the add-two-grids pass."""
+    t = pl.program_id(0)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    _accum_stream(t, starts_ref[t], starts_ref[t + 1], vals_hbm, rk_hbm,
+                  acc_ref, vals_buf, rk_buf, sem_vals, sem_rk)
+    _accum_stream(t, starts2_ref[t], starts2_ref[t + 1], vals2_hbm, rk2_hbm,
+                  acc_ref, vals_buf, rk_buf, sem_vals, sem_rk)
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _pool_stream_prep(rk_sorted, vals_sorted, v_pad):
+    """Pad a sorted stream's tail so chunk DMAs never run off the end (tail
+    ranks point at the sliced-off overflow region) and group the rank into
+    an int32 lane block; compute per-cell-block start offsets."""
+    P, Cp = vals_sorted.shape
     pad = BEV_POOL_CHUNK
     vals_aug = jnp.concatenate(
         [vals_sorted, jnp.zeros((pad, Cp), vals_sorted.dtype)], axis=0
@@ -161,33 +197,79 @@ def _bev_pool_sorted_pallas(rk_sorted, vals_sorted, num_cells, out_dtype):
     )
     rk_grp = jnp.broadcast_to(rk_grp[:, None], (P + pad, 128))
     starts = jnp.searchsorted(
-        rk_sorted, jnp.arange(0, v_pad + 1, BEV_POOL_BLOCK_CELLS, dtype=rk_sorted.dtype)
+        rk_sorted,
+        jnp.arange(0, v_pad + 1, BEV_POOL_BLOCK_CELLS, dtype=rk_sorted.dtype),
     ).astype(jnp.int32)
+    return starts, vals_aug, rk_grp
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (BEV_POOL_BLOCK_CELLS, Cp), lambda t, starts: (t, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((BEV_POOL_BLOCK_CELLS, Cp), jnp.float32),
-            pltpu.VMEM((BEV_POOL_CHUNK, Cp), vals_sorted.dtype),
-            pltpu.VMEM((BEV_POOL_CHUNK, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+
+def _pad_channels(vals):
+    """Mosaic wants 128-aligned lane counts; pad the channel dim up
+    (free for the flagship's C=256)."""
+    C = vals.shape[-1]
+    Cp = -(-C // 128) * 128
+    if Cp != C:
+        vals = jnp.pad(vals, ((0, 0), (0, Cp - C)))
+    return vals
+
+
+def _bev_pool_sorted_pallas(rk_sorted, vals_sorted, num_cells, out_dtype,
+                            stream2=None):
+    """Sorted (P,) ranks + (P, C) weighted values -> (num_cells, C).
+
+    stream2: optional second sorted (rk, vals) pair accumulated into the
+    same output (used to fuse the banded main pool with the far spray).
+    """
+    C = vals_sorted.shape[-1]
+    vals_sorted = _pad_channels(vals_sorted)
+    Cp = vals_sorted.shape[-1]
+    n_blocks = (num_cells + BEV_POOL_BLOCK_CELLS - 1) // BEV_POOL_BLOCK_CELLS
+    v_pad = n_blocks * BEV_POOL_BLOCK_CELLS
+    starts, vals_aug, rk_grp = _pool_stream_prep(rk_sorted, vals_sorted, v_pad)
+
+    scratch = [
+        pltpu.VMEM((BEV_POOL_BLOCK_CELLS, Cp), jnp.float32),
+        pltpu.VMEM((2, BEV_POOL_CHUNK, Cp), vals_sorted.dtype),
+        pltpu.VMEM((2, BEV_POOL_CHUNK, 128), jnp.int32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    out_spec = pl.BlockSpec(
+        (BEV_POOL_BLOCK_CELLS, Cp), lambda t, *_: (t, 0),
+        memory_space=pltpu.VMEM,
     )
     interpret = jax.devices()[0].platform == "cpu"
-    out = pl.pallas_call(
-        _bev_pool_block_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((v_pad, Cp), out_dtype),
-        interpret=interpret,
-    )(starts, vals_aug, rk_grp)
+    if stream2 is None:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            _bev_pool_block_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((v_pad, Cp), out_dtype),
+            interpret=interpret,
+        )(starts, vals_aug, rk_grp)
+    else:
+        rk2, vals2 = stream2
+        vals2 = _pad_channels(vals2).astype(vals_sorted.dtype)
+        starts2, vals2_aug, rk2_grp = _pool_stream_prep(rk2, vals2, v_pad)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            _bev_pool_block_kernel2,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((v_pad, Cp), out_dtype),
+            interpret=interpret,
+        )(starts, starts2, vals_aug, rk_grp, vals2_aug, rk2_grp)
     return out[:num_cells, :C]
 
 
@@ -251,6 +333,128 @@ def _bev_pool_pallas_bwd(grid_size, valid_cap, res, g):
 
 
 bev_pool_pallas.defvjp(_bev_pool_pallas_fwd, _bev_pool_pallas_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def bev_pool_pallas_banded(weights, feat, ranks, grid_size, valid_cap=None):
+    """Banded (pixel-major) Pallas bev_pool: each pixel contributes K bins.
+
+    Same cell-block MXU kernel as `bev_pool_pallas`, but the point set is the
+    K-banded one from `lift.lss.banded_two_hot` (K ~ 17 instead of D = 88
+    points per pixel). With valid_cap=None the FULL sorted stream is pooled —
+    nothing can be silently dropped; a cap (sorted-valid prefix gather, see
+    `bev_pool_pallas`) only makes sense for sparse point sets like the
+    far-depth spray, where callers must pair it with `count_valid_ranks`.
+
+    Args:
+      weights: (B, N, h, w, K) banded depth weights.
+      feat: (B, N, h, w, C) per-pixel context features.
+      ranks: (B, N, h, w, K) int32 flat voxel ranks (overflow = num_cells).
+      grid_size: (nx, ny, nz).
+
+    Returns (B, nz, ny, nx, C), channel-last.
+    """
+    return _bev_pool_banded_fwd(weights, feat, ranks, grid_size, valid_cap)[0]
+
+
+def count_valid_ranks(ranks, num_cells) -> jnp.ndarray:
+    """In-graph count of in-grid points — the guard for any valid_cap: a cap
+    is only lossless while count_valid_ranks(ranks) <= cap * ranks.size."""
+    return jnp.sum((ranks < num_cells).astype(jnp.int32))
+
+
+def _bev_pool_banded_fwd(weights, feat, ranks, grid_size, valid_cap=None):
+    B, N, h, w, K = weights.shape
+    C = feat.shape[-1]
+    nx, ny, nz = grid_size
+    num_cells = B * nz * ny * nx
+    rk, vals = _sorted_stream(weights, feat.reshape(-1, C), ranks, K, valid_cap)
+    out = _bev_pool_sorted_pallas(rk, vals, num_cells, feat.dtype)
+    return out.reshape(B, nz, ny, nx, C), (weights, feat, ranks)
+
+
+def _bev_pool_banded_bwd(grid_size, valid_cap, res, g):
+    weights, feat, ranks = res
+    B, N, h, w, K = weights.shape
+    C = feat.shape[-1]
+    nx, ny, nz = grid_size
+    num_cells = B * nz * ny * nx
+    gflat = g.reshape(num_cells, C)
+    gpad = jnp.concatenate([gflat, jnp.zeros((1, C), g.dtype)], axis=0)
+    g_at = gpad[jnp.minimum(ranks, num_cells)]  # (B,N,h,w,K,C) gather
+    # The backward ignores valid_cap (it is the exact adjoint of the UNCAPPED
+    # forward); callers using a cap must keep it lossless via
+    # count_valid_ranks, which also keeps this backward exact.
+    dweights = jnp.einsum("bnhwc,bnhwkc->bnhwk", feat, g_at)
+    dfeat = jnp.einsum("bnhwk,bnhwkc->bnhwc", weights, g_at)
+    return dweights, dfeat, None
+
+
+bev_pool_pallas_banded.defvjp(_bev_pool_banded_fwd, _bev_pool_banded_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def bev_pool_pallas_banded2(weights, feat, ranks, weights2, ranks2,
+                            grid_size, valid_cap2=None):
+    """Fused two-stream banded pool: the K-banded main stream (uncapped) and
+    a second pixel-major stream (e.g. the far-depth spray over all D bins,
+    optionally capped) accumulate into ONE voxel grid inside the kernel —
+    saving a second full-grid output write and the add-two-grids pass.
+
+    weights/ranks: (B, N, h, w, K); weights2/ranks2: (B, N, h, w, K2);
+    feat: (B, N, h, w, C) shared by both streams.
+    """
+    return _bev_pool_banded2_fwd(weights, feat, ranks, weights2, ranks2,
+                                 grid_size, valid_cap2)[0]
+
+
+def _sorted_stream(weights, feat_flat, ranks, K, valid_cap):
+    rk = ranks.reshape(-1)
+    wts = weights.reshape(-1)
+    P = rk.shape[0]
+    order = jnp.argsort(rk)
+    if valid_cap is not None:
+        P_cap = -(-int(P * valid_cap) // BEV_POOL_CHUNK) * BEV_POOL_CHUNK
+        P_cap = min(P_cap, -(-P // BEV_POOL_CHUNK) * BEV_POOL_CHUNK)
+        order = order[:P_cap]
+    pix = (order // K).astype(jnp.int32)
+    vals = feat_flat[pix] * wts[order][:, None]
+    return rk[order], vals
+
+
+def _bev_pool_banded2_fwd(weights, feat, ranks, weights2, ranks2,
+                          grid_size, valid_cap2=None):
+    B, N, h, w, K = weights.shape
+    K2 = weights2.shape[-1]
+    C = feat.shape[-1]
+    nx, ny, nz = grid_size
+    num_cells = B * nz * ny * nx
+    feat_flat = feat.reshape(-1, C)
+    rk1, vals1 = _sorted_stream(weights, feat_flat, ranks, K, None)
+    rk2, vals2 = _sorted_stream(weights2, feat_flat, ranks2, K2, valid_cap2)
+    out = _bev_pool_sorted_pallas(rk1, vals1, num_cells, feat.dtype,
+                                  stream2=(rk2, vals2))
+    return out.reshape(B, nz, ny, nx, C), (weights, feat, ranks, weights2, ranks2)
+
+
+def _bev_pool_banded2_bwd(grid_size, valid_cap2, res, g):
+    weights, feat, ranks, weights2, ranks2 = res
+    B, N, h, w, K = weights.shape
+    C = feat.shape[-1]
+    nx, ny, nz = grid_size
+    num_cells = B * nz * ny * nx
+    gpad = jnp.concatenate(
+        [g.reshape(num_cells, C), jnp.zeros((1, C), g.dtype)], axis=0)
+    g1 = gpad[jnp.minimum(ranks, num_cells)]
+    g2 = gpad[jnp.minimum(ranks2, num_cells)]
+    dw1 = jnp.einsum("bnhwc,bnhwkc->bnhwk", feat, g1)
+    dw2 = jnp.einsum("bnhwc,bnhwkc->bnhwk", feat, g2)
+    dfeat = (jnp.einsum("bnhwk,bnhwkc->bnhwc", weights, g1)
+             + jnp.einsum("bnhwk,bnhwkc->bnhwc", weights2, g2))
+    return dw1, dfeat, None, dw2, None
+
+
+bev_pool_pallas_banded2.defvjp(_bev_pool_banded2_fwd, _bev_pool_banded2_bwd)
 
 
 def bev_pool(
