@@ -181,7 +181,11 @@ def test_text_classifier_from_extras():
         "bg_embed": rng.standard_normal((1, cfg.san.clip_embed_dim)).astype(np.float32),
         "logit_scale": np.float32(2.0),
     }
-    ovw, enc2, text_params = _text_classifier(cfg, prompts, extras)
+    # default: real tower + no BPE vocab must FAIL LOUD (round-1 weak #5)
+    with pytest.raises(ValueError, match="bpe"):
+        _text_classifier(cfg, prompts, extras)
+    ovw, enc2, text_params = _text_classifier(cfg, prompts, extras,
+                                              require_bpe=False)
     assert ovw.shape == (len(prompts) + 1, cfg.san.clip_embed_dim)
     norms = np.asarray(jnp.linalg.norm(ovw, axis=-1))
     np.testing.assert_allclose(norms, np.exp(2.0), rtol=1e-4)

@@ -7,7 +7,8 @@ import pickle
 import numpy as np
 
 from veon_tpu.utils.vis import (camera_grid, colorize_depth, denormalize_clipsan,
-                                vis_occ_bev, vis_occ_height_slices)
+                                semseg_overlay, vis_occ_bev,
+                                vis_occ_height_slices, vis_occ_pointcloud)
 from veon_tpu.data.create_infos import create_infos
 from veon_tpu.data.transforms import normalize_clipsan
 
@@ -30,6 +31,41 @@ def test_vis_occ_bev_topmost_class():
 
     strip = vis_occ_height_slices(occ)
     assert strip.shape == (4, 12, 3)
+
+
+def test_vis_occ_pointcloud(tmp_path):
+    occ = np.full((4, 4, 3), 17, dtype=np.int64)
+    occ[1, 2, 0] = 4
+    occ[3, 0, 2] = 7
+    ply = str(tmp_path / "occ.ply")
+    npy = str(tmp_path / "occ.npy")
+    verts = vis_occ_pointcloud(
+        occ, grid_range=((-40, 40), (-40, 40), (-1, 5.4)),
+        ply_path=ply, npy_path=npy)
+    assert verts.shape == (2, 4)
+    # voxel (1, 2, 0) center: x = -40 + 1.5*20 = -10, y = 2.5*20 - 40 = 10,
+    # z = -1 + 0.5*(6.4/3)
+    np.testing.assert_allclose(verts[0], [-10.0, 10.0, -1 + 3.2 / 3, 4.0],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.load(npy), verts)
+    lines = open(ply).read().splitlines()
+    assert lines[0] == "ply" and "element vertex 2" in lines[2]
+    assert len(lines) == 10 + 2  # header(10) + 2 points
+
+
+def test_semseg_overlay_modes():
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    sem = np.zeros((4, 4), dtype=np.int64)
+    sem[2:, 2:] = 3
+    mask = semseg_overlay(img, sem, num_classes=18, mode="mask")
+    assert mask.shape == (8, 8, 3)
+    # both classes render their own (seeded) color, nearest-upsampled 2x
+    assert not np.array_equal(mask[0, 0], mask[7, 7])
+    np.testing.assert_array_equal(mask[6, 6], mask[7, 7])
+    over = semseg_overlay(img, sem, num_classes=18, alpha=0.5)
+    np.testing.assert_allclose(
+        over[0, 0], (img[0, 0] * 0.5 + mask[0, 0] * 0.5).astype(np.uint8),
+        atol=1)
 
 
 def test_camera_grid_and_denorm_roundtrip():

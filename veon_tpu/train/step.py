@@ -216,6 +216,14 @@ def make_train_step(
                 check_rep=False,
             )
             cache[key] = jax.jit(sm, donate_argnums=(0,))
+        if jax.process_count() > 1:
+            # multi-host: each process holds its local batch rows; assemble
+            # global jax.Arrays before the jit (state is replicated P())
+            from .distributed import host_local_batch
+
+            batch = host_local_batch(batch, mesh, batch_specs(batch))
+            state = host_local_batch(
+                state, mesh, jax.tree_util.tree_map(lambda _: P(), state))
         return cache[key](state, batch)
 
     return sharded_step

@@ -99,3 +99,74 @@ def save_png(path: str, img: np.ndarray) -> None:
     from PIL import Image
 
     Image.fromarray(np.asarray(img)).save(path)
+
+
+def vis_occ_pointcloud(
+    occ: np.ndarray,
+    grid_range: Tuple[Tuple[float, float], Tuple[float, float], Tuple[float, float]] = (
+        (-40.0, 40.0), (-40.0, 40.0), (-1.0, 5.4)),
+    free_idx: int = 17,
+    ply_path: Optional[str] = None,
+    npy_path: Optional[str] = None,
+) -> np.ndarray:
+    """3D occupancy point-cloud export (`mmdet3d/utils/vis.py:182+` vis_occ).
+
+    Emits one colored point per occupied voxel at its metric center, exactly
+    the reference's open3d export — but as a self-contained ASCII PLY (any
+    viewer opens it; no open3d dependency) plus the same (P, 4) xyz+class
+    `.npy` vertices array.
+
+    Args:
+      occ: (X, Y, Z) int class grid (free/ignore = free_idx and above).
+      grid_range: metric ((x0,x1),(y0,y1),(z0,z1)) of the voxel volume.
+    Returns the (P, 4) float32 vertices (x, y, z, class).
+    """
+    occ = np.asarray(occ)
+    sel = occ < free_idx
+    idx = np.stack(np.nonzero(sel), axis=-1).astype(np.float32)  # (P, 3)
+    shape = np.asarray(occ.shape, np.float32)
+    lo = np.asarray([r[0] for r in grid_range], np.float32)
+    hi = np.asarray([r[1] for r in grid_range], np.float32)
+    xyz = (idx + 0.5) * (hi - lo) / shape + lo
+    cls = occ[sel].astype(np.float32)
+    vertices = np.concatenate([xyz, cls[:, None]], axis=-1)
+    if npy_path is not None:
+        np.save(npy_path, vertices)
+    if ply_path is not None:
+        rgb = OCC_PALETTE[np.clip(cls.astype(int), 0, len(OCC_PALETTE) - 1)]
+        with open(ply_path, "w") as f:
+            f.write("ply\nformat ascii 1.0\n"
+                    f"element vertex {len(vertices)}\n"
+                    "property float x\nproperty float y\nproperty float z\n"
+                    "property uchar red\nproperty uchar green\n"
+                    "property uchar blue\nend_header\n")
+            for (x, y, z), (r, g, b) in zip(xyz, rgb):
+                f.write(f"{x:.3f} {y:.3f} {z:.3f} {r} {g} {b}\n")
+    return vertices
+
+
+def semseg_overlay(image_rgb: np.ndarray, sem_seg: np.ndarray,
+                   num_classes: int, alpha: float = 0.5,
+                   mode: str = "overlay") -> np.ndarray:
+    """2D semantic-segmentation debug view
+    (`san_in_veon_entry_temporal.py:172-241` visualize): blend a per-pixel
+    class map over the denormalized camera image ("overlay") or render the
+    flat class-color mask ("mask"). Colors are seeded like the reference
+    (np.random.seed(0) per-class random colors) so runs are comparable.
+
+    image_rgb: (H, W, 3) uint8; sem_seg: (h, w) int class ids (resized to
+    the image size with nearest neighbor if smaller).
+    """
+    rng = np.random.RandomState(0)
+    colors = rng.randint(0, 256, size=(num_classes, 3)).astype(np.uint8)
+    sem = np.asarray(sem_seg)
+    H, W = image_rgb.shape[:2]
+    if sem.shape != (H, W):  # nearest-neighbor upsample to image size
+        ry = (np.arange(H) * sem.shape[0] // H).clip(0, sem.shape[0] - 1)
+        rx = (np.arange(W) * sem.shape[1] // W).clip(0, sem.shape[1] - 1)
+        sem = sem[ry[:, None], rx[None, :]]
+    mask = colors[np.clip(sem, 0, num_classes - 1)]
+    if mode == "mask":
+        return mask
+    out = (1 - alpha) * image_rgb.astype(np.float32) + alpha * mask.astype(np.float32)
+    return np.clip(out, 0, 255).astype(np.uint8)
