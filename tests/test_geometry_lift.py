@@ -291,6 +291,41 @@ def test_banded_lift_gradients_match_full():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_presorted_lift_matches_full_and_grads():
+    """lift_presorted (accelerate mode: host-precomputed sort, exact
+    in-grid-count prefix) == the reference-faithful scan path, values and
+    gradients, with NO cap parameter to get wrong."""
+    grid = GridConfig(x=(-40, 40, 8.0), y=(-40, 40, 8.0), z=(-1, 3, 1.0),
+                      depth=(1.0, 45.0, 0.5))
+    B, N = 1, 3
+    lift = LSSLift(grid=grid, input_size=(16, 32), downsample=4,
+                   out_channels=5, ds_feat=(1, 1, 1), impl="scan")
+    s2e, K, post_rot, post_tran, bda = _identity_metas(B, N)
+    rng = np.random.default_rng(23)
+    for n in range(N):
+        th = 2 * np.pi * n / N
+        c, s = np.cos(th), np.sin(th)
+        s2e[:, n, :3, :3] = (np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+                             @ np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float32))
+        s2e[:, n, :3, 3] = (0.5 * c, 0.5 * s, 1.5)
+    feat = jnp.asarray(rng.standard_normal((B, N, 4, 8, 5)).astype(np.float32))
+    metric = jnp.asarray(rng.uniform(1.5, 55.0, size=(B, N, 4, 8)).astype(np.float32))
+    args = (jnp.asarray(s2e), jnp.asarray(K), jnp.asarray(post_rot),
+            jnp.asarray(post_tran), jnp.asarray(bda))
+    pre = lift.precompute_sorted(*args)
+    dist = two_hot_depth(metric, grid)
+
+    want = lift(feat, dist, *args)
+    got = lift.lift_presorted(feat, dist, pre)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-6)
+
+    g_full = jax.grad(lambda f: jnp.sum(lift(f, dist, *args) ** 2))(feat)
+    g_pre = jax.grad(lambda f: jnp.sum(lift.lift_presorted(f, dist, pre) ** 2))(feat)
+    np.testing.assert_allclose(np.asarray(g_pre), np.asarray(g_full),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_absolute_depth_and_sid():
     from veon_tpu.lift.lss import absolute_depth_from_bins, sid_depth_values
     from veon_tpu.geometry.frustum import create_frustum

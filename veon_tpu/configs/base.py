@@ -285,8 +285,13 @@ class VeonConfig:
     lss_downsample: int = 16
     # banded exact two-hot lift (lift.lss.lift_from_metric): stream only the
     # K bins around the metric depth instead of all D — exact at the two-hot
-    # defaults, ~D/K cheaper, and free of the valid-cap silent-drop hazard
-    lss_banded: bool = True
+    # defaults and free of the valid-cap silent-drop hazard. Default OFF for
+    # serving: its ranks depend on predicted depth, so its argsorts (~9 ms)
+    # cannot be hoisted/precomputed, while the full path's rig-only sort can
+    # (measured same-run on chip: banded 139.0 vs full 128.8 ms/frame; the
+    # fixed-rig `lift_presorted` accelerate path beats both). Banded remains
+    # the right choice when metas vary per sample and capping is unsafe.
+    lss_banded: bool = False
     num_temporal: int = 1
     vocabulary: str = "nuscenes_brief"
 

@@ -204,7 +204,12 @@ class VeonModel(nn.Module):
                 sensor2keyegos[:, f], metas["intrins"][:, f],
                 metas["post_rots"][:, f], metas["post_trans"][:, f], metas["bda"],
             )
-            if c.lss_banded:
+            if "lift_sorted" in metas and f == 0 and F == 1:
+                # fixed-rig serving: rank sort precomputed outside the jit
+                # (LSSLift.precompute_sorted — the accelerate mode)
+                vox = self.lift.lift_presorted(
+                    fused, two_hot_depth(d_ds, c.grid), metas["lift_sorted"])
+            elif c.lss_banded:
                 vox = self.lift.lift_from_metric(fused, d_ds, *lift_args)
             else:
                 vox = self.lift(fused, two_hot_depth(d_ds, c.grid), *lift_args)

@@ -335,6 +335,48 @@ def _bev_pool_pallas_bwd(grid_size, valid_cap, res, g):
 bev_pool_pallas.defvjp(_bev_pool_pallas_fwd, _bev_pool_pallas_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def bev_pool_pallas_presorted(depth, feat, order, rk_sorted, ranks, grid_size):
+    """Accelerate-mode pool: the rig-dependent sort is PRECOMPUTED.
+
+    `order`/`rk_sorted`/`ranks` come from `LSSLift.precompute_sorted`
+    (host-side, once per camera rig): `order` indexes the pixel-major
+    flattened point set (p = pix * D + d) restricted to the sorted in-grid
+    prefix (plus chunk padding of overflow rows), `rk_sorted =
+    ranks_flat[order]`, `ranks` the full (B, N, D, h, w) grid for the
+    backward gather. Per frame only the two-hot weights vary, so the
+    per-frame work is one gather + multiply + the cell-block kernel stream —
+    no argsort, and no cap guesswork: the prefix length equals the exact
+    in-grid count (host-verified), so nothing can be dropped. TPU
+    counterpart of the reference accelerate mode
+    (`view_transformer_raw.py:196-215, 304-332`).
+    """
+    return _bev_pool_presorted_fwd(depth, feat, order, rk_sorted, ranks,
+                                   grid_size)[0]
+
+
+def _bev_pool_presorted_fwd(depth, feat, order, rk_sorted, ranks, grid_size):
+    B, N, D, h, w = depth.shape
+    C = feat.shape[-1]
+    nx, ny, nz = grid_size
+    num_cells = B * nz * ny * nx
+    wts = depth.transpose(0, 1, 3, 4, 2).reshape(-1)
+    pix = (order // D).astype(jnp.int32)
+    vals = feat.reshape(-1, C)[pix] * wts[order][:, None]
+    out = _bev_pool_sorted_pallas(rk_sorted, vals, num_cells, feat.dtype)
+    return out.reshape(B, nz, ny, nx, C), (depth, feat, ranks)
+
+
+def _bev_pool_presorted_bwd(grid_size, res, g):
+    # exact adjoint of the (lossless) forward == the full-path adjoint
+    d_depth, d_feat, _ = _bev_pool_pallas_bwd(grid_size, None, res, g)
+    return d_depth, d_feat, None, None, None
+
+
+bev_pool_pallas_presorted.defvjp(_bev_pool_presorted_fwd,
+                                 _bev_pool_presorted_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def bev_pool_pallas_banded(weights, feat, ranks, grid_size, valid_cap=None):
     """Banded (pixel-major) Pallas bev_pool: each pixel contributes K bins.
