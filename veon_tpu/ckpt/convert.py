@@ -162,8 +162,15 @@ def _dino_block(sd, key):
 # ---------------------------------------------------------------- towers
 
 def convert_clip_visual(sd: SD, prefix: str, cfg: SANConfig,
-                        save_layers: Sequence[int]) -> Dict:
-    """open_clip VisionTransformer (shallow trunk) -> CLIPVisualExtractor."""
+                        save_layers: Sequence[int],
+                        resblocks_key: str = "resblocks") -> Dict:
+    """open_clip VisionTransformer (shallow trunk) -> CLIPVisualExtractor.
+
+    A SAN/VEON dump stores the FeatureExtractor's sliced ModuleList directly
+    as `resblocks` (`clip_utils/visual.py:48-52` — torch slice re-indexes
+    from 0); pass resblocks_key="transformer.resblocks" for a raw open_clip
+    visual tower instead.
+    """
     p = prefix
     out = {
         "conv1": _conv2d(sd, f"{p}conv1", bias=False),
@@ -174,7 +181,7 @@ def convert_clip_visual(sd: SD, prefix: str, cfg: SANConfig,
     saves = tuple(sorted(set(save_layers) | {0, cfg.feature_last_layer_idx}))
     for si in range(len(saves) - 1):
         a, b = saves[si], saves[si + 1]
-        blocks = [_clip_block(sd, f"{p}transformer.resblocks.{i}") for i in range(a, b)]
+        blocks = [_clip_block(sd, f"{p}{resblocks_key}.{i}") for i in range(a, b)]
         out[f"segment_{a}_{b}"] = {"blocks": {"block": _stack(blocks)}}
     return out
 
@@ -314,7 +321,9 @@ def convert_alignnet(sd: SD, prefix: str, cfg) -> Tuple[Dict, Dict]:
     """AlignNetOcc3D 3D stack + heads -> (params, batch_stats).
 
     The lift fusion layer (fusion_layers.layer_0) converts separately into
-    the model's lift_fusion module.
+    the model's lift_fusion module. Temporal-fusion weights
+    (`align_net_occ3d.py:13-128`, present when the checkpoint was trained
+    with num_temporal > 1) convert when their keys exist.
     """
     p = prefix
     params: Dict[str, Any] = {}
@@ -349,7 +358,60 @@ def convert_alignnet(sd: SD, prefix: str, cfg) -> Tuple[Dict, Dict]:
     fp["occ_conv3"] = _conv3d(sd, f"{p}feat_pred.occ_conv3.conv")
     params["feat_pred"] = fp
     stats["feat_pred"] = fs
+
+    if f"{p}temporal_fusion.t_final.conv.weight" in sd:
+        tp, ts = _convert_temporal_fusion(sd, f"{p}temporal_fusion.", conv_bn)
+        params["temporal_fusion"] = tp
+        stats["temporal_fusion"] = ts
     return params, stats
+
+
+def _convert_temporal_fusion(sd: SD, p: str, conv_bn) -> Tuple[Dict, Dict]:
+    """TemporalFusionMultiFrame (`align_net_occ3d.py:13-128`) ->
+    nn.alignnet.TemporalFusion (+ TemporalDeformable)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["before_fusion"], stats["before_fusion"] = conv_bn(
+        f"{p}before_fusion_layer.offset_conv")
+    i = 0
+    while f"{p}t_fuse_mid.t_fuse.{i}.conv.weight" in sd:
+        params[f"t_fuse_{i}"], stats[f"t_fuse_{i}"] = conv_bn(
+            f"{p}t_fuse_mid.t_fuse.{i}")
+        i += 1
+    params["t_final"], stats["t_final"] = conv_bn(f"{p}t_final")
+    d = f"{p}deform_fusion_layer.t_deform."
+    dn_p, dn_s = _bn(sd, f"{d}final_norm")
+    params["t_deform"] = {
+        "offset_conv1": _conv3d(sd, f"{d}offset_conv.0"),
+        "offset_conv2": _conv3d(sd, f"{d}offset_conv.2"),
+        "key_value_proj": _conv3d(sd, f"{d}key_value_proj"),
+        "query_proj": _conv3d(sd, f"{d}query_proj"),
+        "out_proj": _conv3d(sd, f"{d}out_proj"),
+        "final_norm": dn_p,
+    }
+    stats["t_deform"] = {"final_norm": dn_s}
+    return params, stats
+
+
+def merge_params(dst: Dict, src: Dict) -> Dict:
+    """Deep-merge a converted (possibly partial) param tree over the model's
+    init tree: leaves present in src replace dst's, leaves absent in src keep
+    their init values (e.g. LoRA adapters when loading a LoRA-free release
+    dump into a use_lora model). Raises on keys src has that dst lacks —
+    that is layout drift, not a partial checkpoint."""
+    from collections.abc import Mapping
+
+    out = dict(dst)
+    for k, v in src.items():
+        if isinstance(v, Mapping) and isinstance(out.get(k), Mapping):
+            out[k] = merge_params(out[k], v)
+        else:
+            if k not in out:
+                raise KeyError(
+                    f"converted checkpoint has '{k}' but the model tree does "
+                    f"not (available: {sorted(out)[:8]}...)")
+            out[k] = v
+    return out
 
 
 def convert_lift_fusion(sd: SD, prefix: str) -> Dict:
@@ -398,12 +460,16 @@ def convert_dav2(sd: SD, cfg: DepthConfig) -> Dict:
     for i in (1, 2, 3, 4):
         rk = f"depth_head.scratch.refinenet{i}"
         head[f"refinenet{i}"] = {
-            "rcu1": {"conv1": _conv2d(sd, f"{rk}.resConfUnit1.conv1"),
-                     "conv2": _conv2d(sd, f"{rk}.resConfUnit1.conv2")},
             "rcu2": {"conv1": _conv2d(sd, f"{rk}.resConfUnit2.conv1"),
                      "conv2": _conv2d(sd, f"{rk}.resConfUnit2.conv2")},
             "out_conv": _conv2d(sd, f"{rk}.out_conv"),
         }
+        if i != 4:
+            # the top fusion block has no skip input, so its resConfUnit1
+            # exists in dumps but is never used by the forward (dead weights)
+            head[f"refinenet{i}"]["rcu1"] = {
+                "conv1": _conv2d(sd, f"{rk}.resConfUnit1.conv1"),
+                "conv2": _conv2d(sd, f"{rk}.resConfUnit1.conv2")}
     head["output_conv1"] = _conv2d(sd, "depth_head.scratch.output_conv1")
     head["output_conv2_0"] = _conv2d(sd, "depth_head.scratch.output_conv2.0")
     head["output_conv2_2"] = _conv2d(sd, "depth_head.scratch.output_conv2.2")
@@ -462,12 +528,14 @@ def convert_zoedepth(sd: SD, cfg) -> Dict:
     for i in (1, 2, 3, 4):
         rk = f"{sc}refinenet{i}"
         core[f"refinenet{i}"] = {
-            "rcu1": {"conv1": _conv2d(sd, f"{rk}.resConfUnit1.conv1"),
-                     "conv2": _conv2d(sd, f"{rk}.resConfUnit1.conv2")},
             "rcu2": {"conv1": _conv2d(sd, f"{rk}.resConfUnit2.conv1"),
                      "conv2": _conv2d(sd, f"{rk}.resConfUnit2.conv2")},
             "out_conv": _conv2d(sd, f"{rk}.out_conv"),
         }
+        if i != 4:  # refinenet4's resConfUnit1 is dead weight (no skip input)
+            core[f"refinenet{i}"]["rcu1"] = {
+                "conv1": _conv2d(sd, f"{rk}.resConfUnit1.conv1"),
+                "conv2": _conv2d(sd, f"{rk}.resConfUnit1.conv2")}
     core["out_conv1"] = _conv2d(sd, f"{sc}output_conv.0")
     core["out_conv2"] = _conv2d(sd, f"{sc}output_conv.2")
     core["out_conv3"] = _conv2d(sd, f"{sc}output_conv.4")

@@ -116,21 +116,18 @@ def _build_model_and_params(cfg, ckpt=None, san_ckpt=None, depth_ckpt=None,
 
         sd = C.load_torch_state_dict(san_ckpt)
         params, stats, extras = C.convert_san_semantic(sd, cfg)
-        merged = dict(variables["params"])
-        merged.update({k: v for k, v in params.items()})
-        variables["params"] = merged
+        variables["params"] = C.merge_params(variables["params"], params)
         if stats:
-            bs = dict(variables.get("batch_stats", {}))
-            bs.update(stats)
-            variables["batch_stats"] = bs
+            variables["batch_stats"] = C.merge_params(
+                dict(variables.get("batch_stats", {})), stats)
         if "text_tower" in extras and "bg_embed" in extras and "logit_scale" in extras:
             ovw, _, _ = _text_classifier(cfg, prompts, extras, bpe_path)
     if depth_ckpt:
         from ..ckpt import convert as C
 
         sd = C.load_torch_state_dict(depth_ckpt)
-        variables["params"] = dict(variables["params"])
-        variables["params"]["depth"] = C.convert_dav2(sd, cfg.depth)
+        variables["params"] = C.merge_params(
+            variables["params"], {"depth": C.convert_dav2(sd, cfg.depth)})
     import jax
 
     variables = jax.device_put(variables, jax.devices()[0])
