@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from veon_tpu.ops.bev_pool import bev_pool, bev_pool_pallas
+from veon_tpu.ops.bev_pool import bev_pool, bev_pool_pallas, count_valid_ranks
 
 
 def _case(B, N, D, h, w, C, grid_size, seed=0, valid_frac=0.5):
@@ -65,3 +65,78 @@ def test_pallas_golden_semantics():
     # cell0 = 0.3 (pix0,d0) + 0.2 (pix0,d1)? layout: ranks[...,d,h,w]
     want = bev_pool(depth, feat, ranks, (1, 2, 1))
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-6)
+
+
+def test_valid_cap_drop_is_detectable_by_guard():
+    """The round-1 hazard, pinned: when count_valid_ranks exceeds cap*P, the
+    capped path silently drops tail mass — the guard is how callers must
+    detect it, and raising the cap (or using the uncapped presorted/banded
+    paths) restores exactness."""
+    grid_size = (10, 10, 2)
+    depth, feat, ranks = _case(1, 2, 8, 6, 8, 8, grid_size, seed=7,
+                               valid_frac=0.8)  # valid fraction ~0.8
+    P = ranks.size
+    num_cells = 1 * 10 * 10 * 2
+    n_valid = int(count_valid_ranks(ranks, num_cells))
+    assert n_valid / P > 0.5  # the scenario: real fraction above the cap
+    want = bev_pool(depth, feat, ranks, grid_size)
+
+    lossy = bev_pool_pallas(depth, feat, ranks, grid_size, 0.5)
+    # guard fires exactly when the result is lossy
+    assert n_valid > 0.5 * P
+    assert np.abs(np.asarray(lossy) - np.asarray(want)).max() > 1e-3
+
+    exact = bev_pool_pallas(depth, feat, ranks, grid_size, 1.0)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_presorted_production_geometry_exact():
+    """lift_presorted at the PRODUCTION frustum geometry (512x1408/16,
+    200x200x16 grid, 88 bins -> 1.49M points) matches the XLA scatter pool
+    bit-for-bit in mass accounting; the sorted prefix equals the exact
+    in-grid count rounded up to the DMA chunk (nothing can be dropped).
+    C is kept small so the CPU reference stays tractable."""
+    from veon_tpu.configs.base import GridConfig
+    from veon_tpu.lift.lss import LSSLift, two_hot_depth
+
+    grid = GridConfig()  # production: 200x200x16 @ 0.4m, 88 bins
+    B, N, C = 1, 6, 2
+    lift = LSSLift(grid=grid, input_size=(512, 1408), downsample=16,
+                   out_channels=C, ds_feat=(2, 2, 2))
+    rng = np.random.default_rng(11)
+    s2e = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
+    for n in range(N):
+        th = 2 * np.pi * n / N
+        c, s = np.cos(th), np.sin(th)
+        s2e[:, n, :3, :3] = (
+            np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+            @ np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float32))
+        s2e[:, n, :3, 3] = (0.5 * c, 0.5 * s, 1.5)
+    K = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
+    K[:, :, 0, 0] = K[:, :, 1, 1] = 560.0
+    K[:, :, 0, 2], K[:, :, 1, 2] = 704.0, 256.0
+    post_rot = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
+    post_tran = np.zeros((B, N, 3), np.float32)
+    bda = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    args = tuple(map(jnp.asarray, (s2e, K, post_rot, post_tran, bda)))
+
+    pre = lift.precompute_sorted(*args)
+    from veon_tpu.ops.bev_pool import BEV_POOL_CHUNK
+
+    num_cells = B * 200 * 200 * 16
+    n_valid = int(count_valid_ranks(pre["ranks"], num_cells))
+    p_cap = pre["order"].shape[0]
+    assert p_cap == min(-(-n_valid // BEV_POOL_CHUNK) * BEV_POOL_CHUNK,
+                        pre["ranks"].size)
+    # every in-grid rank is inside the prefix (lossless by construction)
+    assert int(jnp.sum(pre["rk_sorted"] < num_cells)) == n_valid
+
+    hf, wf = 512 // 16, 1408 // 16
+    feat = jnp.asarray(rng.standard_normal((B, N, hf, wf, C)).astype(np.float32))
+    metric = jnp.asarray(rng.uniform(1.5, 60.0, size=(B, N, hf, wf)).astype(np.float32))
+    dist = two_hot_depth(metric, grid)
+    got = lift.lift_presorted(feat, dist, pre)
+    want = lift._ds_pool(bev_pool(dist, feat, pre["ranks"], grid.size))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

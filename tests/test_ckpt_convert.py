@@ -337,3 +337,35 @@ def test_rec_head_self_attn_mode_parity():
     got = head.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
                      feats, jnp.asarray(bias.reshape(B, heads, Q, h, w)))
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
+
+
+def test_fuse_conv_bn_is_exact_identity():
+    """fuse_conv_bn (tools/test.py --fuse-conv-bn counterpart): folded
+    params produce bit-near-identical eval outputs through the UNCHANGED
+    model graph, with nontrivial running stats."""
+    import jax
+
+    from veon_tpu.ckpt.convert import fuse_conv_bn
+    from veon_tpu.configs import presets
+    from veon_tpu.nn.alignnet import AlignNet3D
+
+    cfg = presets.veon_tiny_test()
+    net = AlignNet3D(cfg=cfg.propagation, clip_outdim=cfg.propagation.clip_proj_dim)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 4, 10, 10, cfg.propagation.dim))
+                    .astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    # randomize running stats so the fold is non-trivial
+    stats = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.uniform(0.5, 2.0, a.shape).astype(a.dtype)),
+        variables["batch_stats"])
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.standard_normal(a.shape).astype(a.dtype) * 0.1),
+        variables["params"])
+    want = net.apply({"params": params, "batch_stats": stats}, x, train=False)
+
+    fp, fs = fuse_conv_bn(params, stats)
+    got = net.apply({"params": fp, "batch_stats": fs}, x, train=False)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=2e-5, atol=2e-5)

@@ -242,3 +242,21 @@ def test_loader_sharding():
         assert len(loader) == len(got)
         seen.extend(got)
     assert sorted(seen) == list(range(10))
+
+
+def test_load_cached_depth_torch_interop(tmp_path):
+    """Reference depth caches are torch.save .tensor files
+    (veon_depth_cache.py:149-158); ours are .npy — both must read back
+    identically through the dataset's cache loader."""
+    import torch
+
+    from veon_tpu.data.nuscenes import _load_cached_depth
+
+    d = np.random.default_rng(0).random((8, 22)).astype(np.float32)
+    base_npy = str(tmp_path / "tok-CAM_FRONT")
+    np.save(base_npy + ".npy", d)
+    np.testing.assert_array_equal(_load_cached_depth(base_npy), d)
+
+    base_t = str(tmp_path / "tok2-CAM_FRONT")
+    torch.save(torch.from_numpy(d), base_t + ".tensor")
+    np.testing.assert_allclose(_load_cached_depth(base_t), d, rtol=0)

@@ -615,6 +615,56 @@ def merge_lora(params: Dict, lora_alpha: float = 1.0) -> Dict:
     return walk(params)
 
 
+def fuse_conv_bn(params: Dict, batch_stats: Dict,
+                 eps: float = 1e-5) -> Tuple[Dict, Dict]:
+    """Eval-time Conv+BN folding (`tools/test.py --fuse-conv-bn`).
+
+    Wherever a param subtree holds sibling {conv, bn} (our ConvBN3D layout)
+    with matching batch stats, scale the conv kernel by s/sqrt(v+eps) per
+    out-channel and neutralize the BN's normalization (mean=0, var=1-eps,
+    scale=1), keeping the whole additive term in the BN bias — the tree
+    structure is unchanged (no bias key is added to bias-free convs), and
+    the unchanged model graph computes exactly the same function:
+    y = s*(conv(x)+b0-mu)/sqrt(v+eps) + t == conv_k'(x) + (b0-mu)*g + t.
+    Returns new (params, batch_stats) trees.
+    """
+
+    def walk(p, s):
+        if not isinstance(p, dict):
+            return p, s
+        if ("conv" in p and "bn" in p and isinstance(s, dict)
+                and "bn" in s and "kernel" in p.get("conv", {})):
+            k = np.asarray(p["conv"]["kernel"])
+            b0 = np.asarray(p["conv"].get("bias", np.zeros(k.shape[-1], k.dtype)))
+            scale = np.asarray(p["bn"]["scale"])
+            bias = np.asarray(p["bn"]["bias"])
+            mu = np.asarray(s["bn"]["mean"])
+            var = np.asarray(s["bn"]["var"])
+            g = scale / np.sqrt(var + eps)
+            # broadcast over spatial/in-channel dims; leading dims (if any)
+            # are nn.scan stack axes shared by kernel and bn
+            g_k = g.reshape(g.shape[:-1] + (1,) * (k.ndim - g.ndim) + g.shape[-1:])
+            new_p = dict(p)
+            new_conv = {"kernel": (k * g_k).astype(k.dtype)}
+            if "bias" in p["conv"]:
+                new_conv["bias"] = np.zeros_like(b0)
+            new_p["conv"] = new_conv
+            new_p["bn"] = {"scale": np.ones_like(scale),
+                           "bias": ((b0 - mu) * g + bias).astype(bias.dtype)}
+            new_s = dict(s)
+            new_s["bn"] = {"mean": np.zeros_like(mu),
+                           "var": np.full_like(var, 1.0 - eps)}
+            return new_p, new_s
+        out_p, out_s = dict(p), dict(s) if isinstance(s, dict) else s
+        for key, v in p.items():
+            sub_s = s.get(key) if isinstance(s, dict) else None
+            if isinstance(v, dict) and isinstance(sub_s, dict):
+                out_p[key], out_s[key] = walk(v, sub_s)
+        return out_p, out_s
+
+    return walk(dict(params), dict(batch_stats))
+
+
 def _rec_head_offsets(sd: SD, prefix: str) -> SD:
     """Rec-head checkpoints index resblocks from the ORIGINAL layer number
     (clip_rec_head.resblocks holds layers K..total under indices 0..n-1 in

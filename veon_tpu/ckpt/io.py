@@ -39,15 +39,23 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
 
 def find_latest(directory: str) -> Optional[str]:
     """mmcv find_latest_checkpoint equivalent for --auto-resume."""
-    if not os.path.isdir(directory):
+    steps = list_checkpoints(directory)
+    if not steps:
         return None
+    return steps[-1][1]
+
+
+def list_checkpoints(directory: str):
+    """All step_<n> checkpoints under directory, sorted by step — the
+    `tools/dist_test_all.sh` epoch-sweep enumeration."""
+    if not os.path.isdir(directory):
+        return []
     steps = []
     for name in os.listdir(directory):
         if name.startswith("step_"):
             try:
-                steps.append(int(name.split("_")[1]))
+                steps.append((int(name.split("_")[1]),
+                              os.path.join(directory, name)))
             except ValueError:
                 pass
-    if not steps:
-        return None
-    return os.path.join(directory, f"step_{max(steps)}")
+    return sorted(steps)

@@ -223,6 +223,12 @@ def cmd_test(args):
         state = load_checkpoint(args.ckpt)
         variables = {"params": state["ema_params" if args.ema else "params"],
                      "batch_stats": state["ema_batch_stats" if args.ema else "batch_stats"]}
+    if getattr(args, "fuse_conv_bn", False):
+        from ..ckpt.convert import fuse_conv_bn
+
+        variables = dict(variables)
+        variables["params"], variables["batch_stats"] = fuse_conv_bn(
+            variables["params"], variables.get("batch_stats", {}))
     membership = text_mod.merge_matrix(refl)
 
     from ..model.veon import VeonModel
@@ -247,6 +253,22 @@ def cmd_test(args):
     )
     loader = DataLoader(ds, batch_size=1, shuffle=False, num_workers=args.workers,
                         drop_last=False)
+    if getattr(args, "all_ckpts", False):
+        # dist_test_all.sh counterpart: sweep every checkpoint in work_dir
+        from ..ckpt.io import list_checkpoints
+
+        sweep = {}
+        for step_n, path in list_checkpoints(args.work_dir):
+            state = load_checkpoint(path)
+            variables = {
+                "params": state["ema_params" if args.ema else "params"],
+                "batch_stats": state["ema_batch_stats" if args.ema
+                                     else "batch_stats"],
+            }
+            sweep[step_n] = evaluate_occ(predict, loader, ovw)
+            print(f"step {step_n}: {json.dumps(sweep[step_n])}")
+        print(json.dumps({"sweep": sweep}, indent=2))
+        return
     res = evaluate_occ(predict, loader, ovw)
     print(json.dumps(res, indent=2))
 
@@ -560,6 +582,11 @@ def main(argv=None):
                        help="CLIP bpe_simple_vocab_16e6.txt.gz for exact tokenization")
         p.add_argument("--auto-resume", action="store_true",
                        help="resume from the latest checkpoint in --work-dir")
+        p.add_argument("--all-ckpts", action="store_true",
+                       help="evaluate every checkpoint in work_dir "
+                            "(dist_test_all.sh parity)")
+        p.add_argument("--fuse-conv-bn", action="store_true",
+                       help="fold BN into convs at eval (tools/test.py parity)")
         p.add_argument("--dist-coordinator", default=None,
                        help="host:port of process 0 (multi-host training; "
                             "also read from MASTER_ADDR/MASTER_PORT)")

@@ -32,6 +32,18 @@ def load_infos(path: str) -> List[Dict[str, Any]]:
     return list(sorted(infos, key=lambda e: e["timestamp"]))
 
 
+def _load_cached_depth(base: str) -> np.ndarray:
+    """Read one cached depth map: our `.npy` files or the reference's
+    torch.save `.tensor` files (`veon_depth_cache.py:149-158`) — drop-in
+    interop with a cache produced by the reference's cache-depth stage."""
+    if os.path.exists(base + ".npy"):
+        return np.load(base + ".npy")
+    import torch
+
+    t = torch.load(base + ".tensor", map_location="cpu", weights_only=True)
+    return np.asarray(t.float().numpy(), np.float32)
+
+
 def _load_points(path: str) -> np.ndarray:
     """nuScenes LiDAR .bin: float32 (x, y, z, intensity, ring) rows."""
     pts = np.fromfile(path, dtype=np.float32)
@@ -155,9 +167,9 @@ class NuScenesOccDataset:
                 imgs[f, ci] = T.normalize_clipsan(np.asarray(fimg))
                 if use_cache:
                     tok = frame["token"]
-                    p = os.path.join(self.depth_cache_dir, tok[:2], tok,
-                                     f"{tok}-{cam}.npy")
-                    depth_preds[f, ci] = np.load(p)
+                    base = os.path.join(self.depth_cache_dir, tok[:2], tok,
+                                        f"{tok}-{cam}")
+                    depth_preds[f, ci] = _load_cached_depth(base)
                 else:
                     dimg = fimg.resize((dW, dH), resample=Image.BICUBIC)
                     if (fdh, fdw) != (dH, dW):
