@@ -49,3 +49,32 @@ def test_voxel_ranks_native_matches_jnp():
     want, _ = voxel_ranks(jnp.asarray(coor), GRID)
     got = native.voxel_ranks_native(coor, GRID.lower_bound, GRID.interval, GRID.size)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want)[0] if False else np.asarray(want))
+
+
+def test_native_jpeg_decode_matches_pil(tmp_path):
+    """Native libjpeg decode is byte-identical to PIL (same library, same
+    default IDCT); open_image_native returns a PIL-compatible image."""
+    import io
+
+    from PIL import Image
+
+    from veon_tpu.data.native import decode_jpeg_native, open_image_native
+
+    rng = np.random.default_rng(0)
+    # smooth-ish content (random noise stresses the IDCT identically anyway)
+    base = rng.integers(0, 255, size=(45, 67, 3), dtype=np.uint8)
+    img = Image.fromarray(base)
+    p = str(tmp_path / "cam.jpg")
+    img.save(p, quality=90)
+
+    with open(p, "rb") as f:
+        data = f.read()
+    got = decode_jpeg_native(data)
+    if got is None:  # no libjpeg toolchain on this box: fallback contract
+        assert open_image_native(p).size == (67, 45)
+        return
+    want = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(got, want)
+
+    via_open = np.asarray(open_image_native(p))
+    np.testing.assert_array_equal(via_open, want)

@@ -41,10 +41,13 @@ def _load() -> Optional[ctypes.CDLL]:
             if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
                 os.makedirs(os.path.dirname(so), exist_ok=True)
                 tmp = so + f".tmp{os.getpid()}"
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
-                    check=True, capture_output=True, timeout=120,
-                )
+                base = ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src]
+                try:  # with libjpeg when available (native decode fast path)
+                    subprocess.run(base + ["-DVEON_WITH_JPEG", "-ljpeg"],
+                                   check=True, capture_output=True, timeout=120)
+                except subprocess.SubprocessError:
+                    subprocess.run(base, check=True, capture_output=True,
+                                   timeout=120)
                 os.replace(tmp, so)  # atomic vs concurrent builders
             lib = ctypes.CDLL(so)
         except (OSError, subprocess.SubprocessError):
@@ -64,6 +67,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.veon_voxel_ranks.restype = None
+        if hasattr(lib, "veon_decode_jpeg"):
+            lib.veon_decode_jpeg.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_ubyte),
+            ]
+            lib.veon_decode_jpeg.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -147,3 +157,43 @@ def voxel_ranks_native(
         ranks[overflow] = B * nvox
         out[b] = ranks.reshape(coor.shape[1:-1])
     return out
+
+
+def decode_jpeg_native(data: bytes) -> Optional[np.ndarray]:
+    """Decode a JPEG byte string to an (H, W, 3) RGB uint8 array via the
+    native libjpeg path (GIL released for the whole decode; byte-identical
+    to PIL's output since PIL wraps the same library with the same default
+    IDCT). Returns None when the native library lacks JPEG support or the
+    stream is not decodable — callers fall back to PIL."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "veon_decode_jpeg"):
+        return None
+    buf = (ctypes.c_ubyte * len(data)).from_buffer_copy(data)
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    if lib.veon_decode_jpeg(buf, len(data), ctypes.byref(h), ctypes.byref(w),
+                            None):
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.veon_decode_jpeg(
+        buf, len(data), ctypes.byref(h), ctypes.byref(w),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if rc:
+        return None
+    return out
+
+
+def open_image_native(path: str):
+    """PIL-compatible image open with the native JPEG fast path: returns a
+    PIL Image either way (the aug pipeline operates on PIL ops)."""
+    from PIL import Image
+
+    if path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            with open(path, "rb") as f:
+                arr = decode_jpeg_native(f.read())
+        except OSError:
+            arr = None
+        if arr is not None:
+            return Image.fromarray(arr)
+    return Image.open(path)

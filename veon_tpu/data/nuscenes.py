@@ -19,6 +19,7 @@ import numpy as np
 
 from ..configs.base import DataConfig, GridConfig
 from . import transforms as T
+from .native import open_image_native
 from .depth_gt import (lidar2img_matrices, points_to_multiview_depth,
                        points_to_voxel_indices)
 
@@ -153,7 +154,7 @@ class NuScenesOccDataset:
 
         for ci, cam in enumerate(cfg.cams):
             cam_info = info["cams"][cam]
-            img = Image.open(self._path(cam_info["data_path"]))
+            img = open_image_native(self._path(cam_info["data_path"]))
             # per-camera aug, shared across the temporal frames of that
             # camera (PrepareImageInputs reuses resize_dims/crop/flip/rotate
             # for adjacent frames, loading.py:1275-1292)
@@ -162,7 +163,7 @@ class NuScenesOccDataset:
             rot3, tran3 = T.aug_homography(aug)
             for f, frame in enumerate(frames):
                 fci = frame["cams"][cam]
-                fimg = img if f == 0 else Image.open(self._path(fci["data_path"]))
+                fimg = img if f == 0 else open_image_native(self._path(fci["data_path"]))
                 fimg = T.apply_image_aug(fimg, aug)
                 imgs[f, ci] = T.normalize_clipsan(np.asarray(fimg))
                 if use_cache:
