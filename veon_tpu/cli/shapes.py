@@ -55,10 +55,16 @@ def example_batch(cfg: VeonConfig, B: int = 1):
     prev_e2g = eye(4, B, max(F - 1, 1))
     for f in range(1, F):
         prev_e2g[:, f - 1, 0, 3] = -0.8 * f
+    # nuScenes-faithful intrinsics at input scale: fx ~1266 at 1600 px wide
+    # -> x(1408/1600) = 0.79*W; the reference test-time aug (resize 0.88 +
+    # bottom-biased crop, bevdet data_config crop_h with (0.0, 0.0) offsets)
+    # lands the principal point ~0.34*H from the top (sky mostly cropped).
+    # This sets the frustum's in-grid fraction (~0.58) and therefore the
+    # lift's true workload — a wider synthetic FOV would distort benchmarks.
     K = eye(3, B, F, N)
-    K[..., 0, 0] = K[..., 1, 1] = 0.6 * W
+    K[..., 0, 0] = K[..., 1, 1] = 0.79 * W
     K[..., 0, 2] = W / 2.0
-    K[..., 1, 2] = H / 2.0
+    K[..., 1, 2] = 0.34 * H
     metas = {
         "sensor2egos": jnp.asarray(s2e),
         "ego2globals": jnp.asarray(e2g),

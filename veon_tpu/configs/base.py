@@ -283,15 +283,19 @@ class VeonConfig:
     lss_feat_ds: Tuple[int, int, int] = (2, 2, 2)  # (z, h, w)
     lss_out_channels: int = 256
     lss_downsample: int = 16
-    # banded exact two-hot lift (lift.lss.lift_from_metric): stream only the
-    # K bins around the metric depth instead of all D — exact at the two-hot
-    # defaults and free of the valid-cap silent-drop hazard. Default OFF for
-    # serving: its ranks depend on predicted depth, so its argsorts (~9 ms)
-    # cannot be hoisted/precomputed, while the full path's rig-only sort can
-    # (measured same-run on chip: banded 139.0 vs full 128.8 ms/frame; the
-    # fixed-rig `lift_presorted` accelerate path beats both). Banded remains
-    # the right choice when metas vary per sample and capping is unsafe.
-    lss_banded: bool = False
+    # Lift path selection (all three EXACT; same-run full-model A/B on chip
+    # at the nuScenes-faithful rig, ~0.58 in-grid fraction):
+    #   * fixed-rig serving: metas["lift_sorted"] from
+    #     LSSLift.precompute_sorted -> lift_presorted, 136.5 ms/frame (rig
+    #     sort precomputed once; prefix = exact in-grid count, no cap).
+    #   * training / temporal frames (metas vary per sample, sorts
+    #     unavoidable): banded two-hot (this flag, 138.9 ms/frame) — K=17
+    #     bins/pixel + far-depth spray, the smallest stream.
+    #   * full uncapped path (lss_banded=False, no precomp): reference
+    #     formulation, 175.7 ms/frame — parity baseline; capping it below
+    #     the rig's in-grid fraction silently drops mass (guard with
+    #     ops.bev_pool.count_valid_ranks).
+    lss_banded: bool = True
     num_temporal: int = 1
     vocabulary: str = "nuscenes_brief"
 

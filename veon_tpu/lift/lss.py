@@ -180,7 +180,13 @@ class LSSLift:
     out_channels: int = 256
     ds_feat: Tuple[int, int, int] = (2, 2, 2)  # (z, h, w) output max-pool
     impl: str = "pallas"  # "pallas" (sorted MXU kernel) | "scan" (XLA scatter)
-    valid_cap: float = 0.35  # see ops.bev_pool.bev_pool_pallas
+    # Sorted-valid-prefix cap for the generic pallas path. Default LOSSLESS:
+    # on realistic rigs the in-grid fraction is ~0.52-0.63 (measured; the
+    # round-1 "0.17" came from the then-broken example rig), so any cap
+    # below that silently drops mass. Tighten only with a rig-specific
+    # count_valid_ranks check (the presorted serving path sizes its prefix
+    # exactly and needs no cap at all).
+    valid_cap: float = 1.0
     # K-banded exact two-hot lift (lift_from_metric): bins per pixel.
     # 17 = 2*|MIN_GAP|/(gamma*dd) + 1 covers every unclamped bin at the
     # defaults, making the banded softmax exactly the full one.
@@ -191,7 +197,12 @@ class LSSLift:
     # reproduces it exactly where it exceeds spray_eps of total mass.
     far_spray: bool = True
     spray_eps: float = 1e-6  # per-bin floor-weight threshold for spraying
-    spray_cap: float = 0.25  # valid-prefix cap for the sparse spray pool
+    # valid-prefix cap for the sparse spray pool: spray rows are far-depth
+    # (>~46 m predicted) pixels' in-grid bins, i.e. f_far * v of all P
+    # rows (v ~ 0.58 in-grid on realistic rigs) -> 0.35 covers up to
+    # ~60% far pixels; count_valid_ranks is the runtime guard if a
+    # degenerate depth map ever exceeds it
+    spray_cap: float = 0.35
 
     def precompute_ranks(self, sensor2ego, cam2img, post_rot, post_tran, bda):
         """The "accelerate" mode (`view_transformer_raw.py:196-215, 304-332`):

@@ -278,9 +278,10 @@ def bev_pool_pallas(depth, feat, ranks, grid_size, valid_cap=None):
     """Pallas-accelerated bev_pool; same contract as `bev_pool`.
 
     valid_cap bounds the fraction of frustum points assumed inside the grid
-    (sorted-valid prefix gather); None uses BEV_POOL_VALID_CAP. For the
-    nuScenes rig the measured valid fraction is ~0.17, so 0.35 is a 2x
-    safety margin while cutting the prep stream substantially.
+    (sorted-valid prefix gather); None uses BEV_POOL_VALID_CAP (lossless
+    1.0). Realistic rigs measure ~0.52-0.63 in-grid, so only cap with a
+    rig-verified margin (count_valid_ranks) — an undersized cap silently
+    drops the sorted tail.
 
     Backward is scatter-free: both grads are gathers of the cotangent
     (ddepth[p] = <feat[pix_p], g[rank_p]>, dfeat[pix] = sum_d w*g[rank]).
@@ -288,7 +289,7 @@ def bev_pool_pallas(depth, feat, ranks, grid_size, valid_cap=None):
     return _bev_pool_pallas_fwd(depth, feat, ranks, grid_size, valid_cap)[0]
 
 
-BEV_POOL_VALID_CAP = 0.5  # max fraction of frustum points inside the grid
+BEV_POOL_VALID_CAP = 1.0  # default lossless; cap only with a verified margin
 
 
 def _bev_pool_pallas_fwd(depth, feat, ranks, grid_size, valid_cap=None):
