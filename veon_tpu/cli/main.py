@@ -322,8 +322,15 @@ def cmd_test_retrieval(args):
         # (B, Z, Y, X, C) -> (B, X, Y, Z, C) to match GT voxel indexing
         return out["feat_occ"].transpose(0, 3, 2, 1, 4)
 
-    with open(args.retrieval_items) as f:
-        items = _json.load(f)
+    if args.retrieval_items.endswith(".csv"):
+        # published POP-3D benchmark artifact, read directly
+        # (retrieval_anns_{split}.csv, nuscenes_dataset_retrieval.py:77-88)
+        from ..data.nuscenes import load_retrieval_csv
+
+        items = load_retrieval_csv(args.retrieval_items)
+    else:
+        with open(args.retrieval_items) as f:
+            items = _json.load(f)
     ds = NuScenesRetrievalDataset(
         infos=load_infos(args.ann), data_cfg=cfg.data, grid=cfg.grid,
         num_temporal=cfg.num_temporal, is_train=False, data_root=args.data_root,
