@@ -234,14 +234,21 @@ def test_loader_sharding():
             return {"x": np.asarray([i])}
 
     seen = []
+    lens = []
     for rank in range(3):
         loader = DataLoader(DS(), batch_size=1, shuffle=False, num_workers=1,
                             drop_last=False, shard=(rank, 3))
         got = [int(b["x"][0, 0]) for b in loader]
-        assert got == list(range(rank, 10, 3))
         assert len(loader) == len(got)
+        lens.append(len(got))
         seen.extend(got)
-    assert sorted(seen) == list(range(10))
+    # every rank sees the SAME number of samples (wrap-around padding like
+    # DistributedSampler — unequal counts would deadlock lockstep psums),
+    # and together they cover the dataset
+    assert lens == [4, 4, 4]
+    assert sorted(set(seen)) == list(range(10))
+    # the padding repeats the first (len % count missing) indices
+    assert sorted(seen) == [0, 0, 1, 1] + list(range(2, 10))
 
 
 def test_load_cached_depth_torch_interop(tmp_path):

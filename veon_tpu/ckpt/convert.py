@@ -410,6 +410,11 @@ def merge_params(dst: Dict, src: Dict) -> Dict:
                 raise KeyError(
                     f"converted checkpoint has '{k}' but the model tree does "
                     f"not (available: {sorted(out)[:8]}...)")
+            if isinstance(v, Mapping) != isinstance(out[k], Mapping):
+                raise KeyError(
+                    f"layout drift at '{k}': checkpoint has "
+                    f"{'a subtree' if isinstance(v, Mapping) else 'a leaf'} "
+                    f"but the model tree has the opposite")
             out[k] = v
     return out
 

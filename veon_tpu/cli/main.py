@@ -130,7 +130,9 @@ def _build_model_and_params(cfg, ckpt=None, san_ckpt=None, depth_ckpt=None,
             variables["params"], {"depth": C.convert_dav2(sd, cfg.depth)})
     import jax
 
-    variables = jax.device_put(variables, jax.devices()[0])
+    # local_devices, not devices: after jax.distributed.initialize the
+    # global list starts with process 0's (non-addressable) devices
+    variables = jax.device_put(variables, jax.local_devices()[0])
     return model, variables, ovw, refl, extras
 
 

@@ -82,6 +82,13 @@ class DataLoader:
             rng.shuffle(idx)
         if self.shard is not None:
             rank, count = self.shard
+            # pad (wrap-around) to a multiple of count so every rank gets
+            # the same number of samples — unequal counts would deadlock
+            # the lockstep collectives in the sharded train step
+            # (torch DistributedSampler's padding semantics)
+            pad = (-len(idx)) % count
+            if pad:
+                idx = np.concatenate([idx, idx[:pad]])
             idx = idx[rank::count]
         return idx
 

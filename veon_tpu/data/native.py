@@ -183,17 +183,40 @@ def decode_jpeg_native(data: bytes) -> Optional[np.ndarray]:
     return out
 
 
+_JPEG_PARITY_OK: Optional[bool] = None
+
+
+def _jpeg_parity_check(data: bytes, native_arr: np.ndarray) -> bool:
+    """One-time self-check: the system libjpeg g++ links against may be a
+    different implementation than the one Pillow bundles (IJG vs
+    libjpeg-turbo differ by +-1 in IDCT rounding on some distros). Verify
+    the first decode byte-for-byte against PIL and disable the native path
+    for the process if they disagree — inputs must not depend on which
+    library happened to build."""
+    global _JPEG_PARITY_OK
+    if _JPEG_PARITY_OK is None:
+        import io
+
+        from PIL import Image
+
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        _JPEG_PARITY_OK = (pil.shape == native_arr.shape
+                           and bool(np.array_equal(pil, native_arr)))
+    return _JPEG_PARITY_OK
+
+
 def open_image_native(path: str):
     """PIL-compatible image open with the native JPEG fast path: returns a
     PIL Image either way (the aug pipeline operates on PIL ops)."""
     from PIL import Image
 
-    if path.lower().endswith((".jpg", ".jpeg")):
+    if _JPEG_PARITY_OK is not False and path.lower().endswith((".jpg", ".jpeg")):
         try:
             with open(path, "rb") as f:
-                arr = decode_jpeg_native(f.read())
+                data = f.read()
+            arr = decode_jpeg_native(data)
         except OSError:
             arr = None
-        if arr is not None:
+        if arr is not None and _jpeg_parity_check(data, arr):
             return Image.fromarray(arr)
     return Image.open(path)

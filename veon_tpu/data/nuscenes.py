@@ -91,7 +91,7 @@ class NuScenesOccDataset:
         self.depth_cache_dir = depth_cache_dir
         self.load_lidar_depth = bool(load_lidar_depth)
         self.load_occ_gt = bool(load_occ_gt)
-        self._rng = np.random.default_rng(seed)
+        self._seed = int(seed)
 
     def __len__(self) -> int:
         return len(self.infos)
@@ -152,6 +152,10 @@ class NuScenesOccDataset:
         post_rots = np.empty((F, N, 3, 3), np.float32)
         post_trans = np.empty((F, N, 3), np.float32)
 
+        # per-sample generator: numpy Generators are not thread-safe and
+        # __getitem__ runs concurrently in the loader's decode threads;
+        # seeding by (seed, index) also makes augs reproducible per sample
+        rng = np.random.default_rng((self._seed, index))
         for ci, cam in enumerate(cfg.cams):
             cam_info = info["cams"][cam]
             img = open_image_native(self._path(cam_info["data_path"]))
@@ -159,7 +163,7 @@ class NuScenesOccDataset:
             # camera (PrepareImageInputs reuses resize_dims/crop/flip/rotate
             # for adjacent frames, loading.py:1275-1292)
             aug = T.sample_augmentation(cfg, (img.height, img.width),
-                                        is_train=self.is_train, rng=self._rng)
+                                        is_train=self.is_train, rng=rng)
             rot3, tran3 = T.aug_homography(aug)
             for f, frame in enumerate(frames):
                 fci = frame["cams"][cam]

@@ -197,12 +197,13 @@ class LSSLift:
     # reproduces it exactly where it exceeds spray_eps of total mass.
     far_spray: bool = True
     spray_eps: float = 1e-6  # per-bin floor-weight threshold for spraying
-    # valid-prefix cap for the sparse spray pool: spray rows are far-depth
-    # (>~46 m predicted) pixels' in-grid bins, i.e. f_far * v of all P
-    # rows (v ~ 0.58 in-grid on realistic rigs) -> 0.35 covers up to
-    # ~60% far pixels; count_valid_ranks is the runtime guard if a
-    # degenerate depth map ever exceeds it
-    spray_cap: float = 0.35
+    # optional valid-prefix cap for the sparse spray pool: spray rows are
+    # far-depth (>~46 m predicted) pixels' in-grid bins, i.e. f_far * v of
+    # all P rows (v ~ 0.58 in-grid on realistic rigs). Default None =
+    # LOSSLESS (the spray streams its full sorted set); a cap is a perf
+    # knob that MUST be paired with a count_valid_ranks check for the
+    # worst-case depth map — an exceeded cap drops mass silently.
+    spray_cap: Optional[float] = None
 
     def precompute_ranks(self, sensor2ego, cam2img, post_rot, post_tran, bda):
         """The "accelerate" mode (`view_transformer_raw.py:196-215, 304-332`):
@@ -337,6 +338,16 @@ class LSSLift:
         """
         D = self.grid.num_depth_bins
         d0, _, dd = self.grid.depth
+        # the banded decomposition is exact ONLY when every out-of-band bin
+        # is clamped: band must cover 2*ceil(|MIN_GAP|/(gamma*dd)) + 1 bins
+        # (gamma=4, MIN_GAP=-16 -> 17 at dd=0.5). A finer depth grid needs a
+        # wider band; fail at trace time rather than silently inflating
+        # every weight (the closed-form normalizer would be wrong).
+        k_needed = 2 * int(np.ceil(16.0 / (4.0 * dd))) + 1
+        if self.band_k < min(k_needed, D + 1):
+            raise ValueError(
+                f"band_k={self.band_k} too narrow for depth bin width "
+                f"{dd}: the two-hot clamp radius spans {k_needed} bins")
         weights, bins, floor = banded_two_hot_with_floor(
             metric_depth, self.grid, self.band_k
         )

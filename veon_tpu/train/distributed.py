@@ -39,6 +39,12 @@ def initialize(
         num_processes = int(os.environ.get("NNODES", "1"))
     if process_id is None:
         process_id = int(os.environ.get("NODE_RANK", "0"))
+    if num_processes > 1 and coordinator is None:
+        raise ValueError(
+            f"multi-process world size {num_processes} requested but no "
+            "coordinator address: pass --dist-coordinator or set "
+            "MASTER_ADDR (otherwise each rank would silently train "
+            "independently and clobber the shared work_dir)")
     if coordinator is None or num_processes <= 1:
         return False
     import jax
@@ -59,16 +65,23 @@ def process_shard() -> tuple:
 
 
 def host_local_batch(batch: Any, mesh, specs: Any) -> Any:
-    """Per-process host-local batch -> global jax.Arrays on a (possibly
-    multi-process) mesh. Leaves already on device pass through; host leaves
-    are placed with their NamedSharding via make_array_from_process_local_data
-    (each process contributes its local rows of batch-sharded leaves)."""
+    """Per-process host-local values -> global jax.Arrays on a (possibly
+    multi-process) mesh. A leaf passes through only when it is already a
+    global array sharded over THIS mesh; anything else — numpy, or a
+    jax.Array committed to a single local device (e.g. the freshly-built
+    TrainState) — is read back host-side and assembled with its
+    NamedSharding via make_array_from_process_local_data (each process
+    contributes its local rows of batch-sharded leaves; replicated leaves
+    must agree across processes)."""
     import jax
     from jax.sharding import NamedSharding
 
     def place(leaf, spec):
         if isinstance(leaf, jax.Array) and not isinstance(leaf, np.ndarray):
-            return leaf
+            sh = leaf.sharding
+            if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+                return leaf
+            leaf = np.asarray(leaf)  # host-local: reassemble globally
         return jax.make_array_from_process_local_data(
             NamedSharding(mesh, spec), np.asarray(leaf)
         )
