@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -97,3 +98,37 @@ def test_full_graph_temporal():
     assert out["bin_occ"].shape == (1, nz, ny, nx, 2)
     for v in out.values():
         assert not bool(jnp.isnan(v).any())
+
+
+@pytest.mark.parametrize("preset", ["veon_l", "veon_l_zoe"])
+def test_veon_l_config_wiring_eval_shape(preset):
+    """VEON-L (SAN ViT-L-14-336 + HSA-1024 + 768-d CLIP space), both depth
+    branches, wires end-to-end: abstract-trace the full forward at
+    production L dims via eval_shape (no FLOPs run) and check the output
+    contract. Catches any dimension mismatch across the L preset's fusion
+    maps / head widths (configs/veon/veon-temporal-large-*)."""
+    import jax
+
+    from veon_tpu.cli.shapes import example_batch_full
+    from veon_tpu.configs import presets
+
+    cfg = getattr(presets, preset)()
+    model = VeonModel(cfg=cfg)
+    imgs, depth_imgs, metas = example_batch_full(cfg, B=1)
+    ovw = jnp.zeros((67, cfg.san.clip_embed_dim), jnp.float32)
+
+    var_shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), imgs, depth_imgs, metas,
+                           ovw, train=False, method=VeonModel.full_forward))
+
+    def fwd(variables):
+        return model.apply(variables, imgs, depth_imgs, metas, ovw,
+                           train=False, method=VeonModel.full_forward)
+
+    out = jax.eval_shape(fwd, var_shapes)
+    nx, ny, nz = cfg.grid.size
+    assert out["feat_occ"].shape == (1, nz, ny, nx, cfg.propagation.clip_proj_dim)
+    assert out["bin_occ"].shape == (1, nz, ny, nx, 2)
+    assert out["sem_occ_raw"].shape == (1, nz, ny, nx, 67)
+    assert cfg.propagation.clip_proj_dim == 768  # L-specific CLIP space
+    assert out["clip_feat"].shape[-1] == 768
