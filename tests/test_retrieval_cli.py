@@ -64,3 +64,28 @@ def test_retrieval_cli_end_to_end_from_csv(tmp_path, monkeypatch):
     assert summary["num_prompts"] == 1
     assert np.isfinite(summary["mAP"])
     assert np.isfinite(summary["mAP_visible"])
+
+
+def test_occ_eval_cli_end_to_end(tmp_path, monkeypatch):
+    """`veon_tpu test` end-to-end on the mini fixture: dataset -> tiny model
+    forward -> fusion rule -> Occ3D mIoU summary, with --fuse-conv-bn
+    exercising the eval-time folding path through the CLI."""
+    root = str(tmp_path)
+    pkl = _make_fixture(root)
+
+    def veon_tiny_fixture(num_temporal=1):
+        cfg = presets.veon_tiny_test(num_temporal=num_temporal)
+        return dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, src_size=(90, 160)))
+
+    monkeypatch.setattr(presets, "veon_tiny_fixture", veon_tiny_fixture,
+                        raising=False)
+    from veon_tpu.cli.main import main
+
+    res = main([
+        "test", "--preset", "veon_tiny_fixture", "--data-root", root,
+        "--ann", pkl, "--workers", "1", "--fuse-conv-bn",
+    ])
+    key = "mIoU" if "mIoU" in res else "miou"
+    assert np.isfinite(res[key])
+    assert any(k.startswith("IoU_") for k in res)

@@ -270,9 +270,10 @@ def cmd_test(args):
             sweep[step_n] = evaluate_occ(predict, loader, ovw)
             print(f"step {step_n}: {json.dumps(sweep[step_n])}")
         print(json.dumps({"sweep": sweep}, indent=2))
-        return
+        return {"sweep": sweep}
     res = evaluate_occ(predict, loader, ovw)
     print(json.dumps(res, indent=2))
+    return res
 
 
 def cmd_test_retrieval(args):
