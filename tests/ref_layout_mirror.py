@@ -446,3 +446,137 @@ def make_san_semantic_sd(cfg, num_temporal: int = 1) -> dict:
 
 def make_dav2_sd(depth_cfg, lora_r: int = 0) -> dict:
     return _np_sd(Dav2Mirror(depth_cfg, lora_r=lora_r))
+
+
+# ------------------------------------------------------------- ZoeDepth-NK
+
+
+class _BeitBlock(nn.Module):
+    """timm BEiT block as dumped by the VEON ZoeDepth adaptor
+    (`depth_midas/zoedepth/zoedepth_nk_v1.py` + midas backbones/beit.py):
+    qkv bias-free Linear with separate q_bias/v_bias params, relative
+    position bias table (pretrain window 24x24 -> (2*24-1)^2+3 rows),
+    LayerScale gamma_1/2, optional LoRA on qkv."""
+
+    def __init__(self, d, heads, lora_r=0):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(d)
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(d, d * 3, bias=False)
+        self.attn.q_bias = nn.Parameter(torch.zeros(d))
+        self.attn.v_bias = nn.Parameter(torch.zeros(d))
+        M = (2 * 24 - 1) ** 2 + 3
+        self.attn.relative_position_bias_table = nn.Parameter(
+            torch.zeros(M, heads))
+        self.attn.register_buffer(
+            "relative_position_index", torch.zeros(1, dtype=torch.long))
+        self.attn.proj = nn.Linear(d, d)
+        self.gamma_1 = nn.Parameter(torch.ones(d))
+        self.norm2 = nn.LayerNorm(d)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(d, 4 * d)
+        self.mlp.fc2 = nn.Linear(4 * d, d)
+        self.gamma_2 = nn.Parameter(torch.ones(d))
+        if lora_r:
+            self.attn.qkv.lora_A = nn.Parameter(torch.randn(lora_r, d) * 0.01)
+            self.attn.qkv.lora_B = nn.Parameter(torch.zeros(3 * d, lora_r))
+
+
+class _LoraProject(nn.Module):
+    """MiDaS readout: act_postprocessN.0.project = Sequential(Linear, GELU),
+    with LoRA injected on the Linear by the VEON adaptor."""
+
+    def __init__(self, d, lora_r=0):
+        super().__init__()
+        lin = nn.Linear(2 * d, d)
+        if lora_r:
+            lin.lora_A = nn.Parameter(torch.randn(lora_r, 2 * d) * 0.01)
+            lin.lora_B = nn.Parameter(torch.zeros(d, lora_r))
+        self.project = nn.Sequential(lin, nn.GELU())
+
+
+class ZoeMirror(nn.Module):
+    """VEON ZoeDepth-NK adaptor dump layout (kitti-only bin_conf — the
+    adaptor comments out the nyu branch and the patch-transformer router,
+    zoedepth_nk_v1.py:89-115)."""
+
+    def __init__(self, zc, lora_r=0):
+        super().__init__()
+        d, f = zc.width, zc.features
+        pc = zc.pyramid_channels
+        model = nn.Module()
+        model.patch_embed = nn.Module()
+        model.patch_embed.proj = nn.Conv2d(3, d, zc.patch_size,
+                                           stride=zc.patch_size)
+        model.cls_token = nn.Parameter(torch.zeros(1, 1, d))
+        model.blocks = nn.ModuleList(
+            [_BeitBlock(d, zc.heads, lora_r) for _ in range(zc.depth)])
+
+        pretrained = nn.Module()
+        pretrained.model = model
+        for i in range(4):
+            ap = nn.Sequential(
+                _LoraProject(d, lora_r), nn.Identity(), nn.Identity(),
+                nn.Conv2d(d, pc[i], 1))
+            if i == 0:
+                ap.append(nn.ConvTranspose2d(pc[i], pc[i], 4, stride=4))
+            elif i == 1:
+                ap.append(nn.ConvTranspose2d(pc[i], pc[i], 2, stride=2))
+            elif i == 3:
+                ap.append(nn.Conv2d(pc[i], pc[i], 3, stride=2, padding=1))
+            setattr(pretrained, f"act_postprocess{i + 1}", ap)
+
+        scratch = nn.Module()
+        for i, c in enumerate(pc):
+            setattr(scratch, f"layer{i + 1}_rn",
+                    nn.Conv2d(c, f, 3, padding=1, bias=False))
+        for i in (1, 2, 3, 4):
+            rn = nn.Module()
+            for rcu in ("resConfUnit1", "resConfUnit2"):
+                m = nn.Module()
+                m.conv1 = nn.Conv2d(f, f, 3, padding=1)
+                m.conv2 = nn.Conv2d(f, f, 3, padding=1)
+                setattr(rn, rcu, m)
+            rn.out_conv = nn.Conv2d(f, f, 1)
+            setattr(scratch, f"refinenet{i}", rn)
+        scratch.output_conv = nn.Sequential(
+            nn.Conv2d(f, f // 2, 3, padding=1), nn.Identity(),
+            nn.Conv2d(f // 2, 32, 3, padding=1), nn.ReLU(),
+            nn.Conv2d(32, 1, 1), nn.ReLU())
+
+        core_inner = nn.Module()
+        core_inner.pretrained = pretrained
+        core_inner.scratch = scratch
+        core = nn.Module()
+        core.core = core_inner
+        self.core = core
+
+        # bins-head dims (zoedepth_nk_v1.py:105-168): conv2 f->f; seed /
+        # projector MLPs at mlp_dim = bin_embedding_dim // 2; attractors at
+        # mlp_dim = bin_embedding_dim; CLB bottleneck (32+e)//4 -> 4
+        self.conv2 = nn.Conv2d(f, f, 1)
+
+        def conv_mlp(cin, mid, cout):
+            return nn.Sequential(nn.Conv2d(cin, mid, 1), nn.ReLU(),
+                                 nn.Conv2d(mid, cout, 1))
+
+        class _Net(nn.Module):
+            def __init__(self, cin, mid, cout):
+                super().__init__()
+                self._net = conv_mlp(cin, mid, cout)
+
+        e = zc.bin_embedding_dim
+        self.seed_bin_regressors = nn.ModuleDict(
+            {"kitti": _Net(f, e // 2, zc.n_bins)})
+        self.seed_projector = _Net(f, e // 2, e)
+        self.projectors = nn.ModuleList(
+            [_Net(f, e // 2, e) for _ in range(4)])
+        self.attractors = nn.ModuleDict({"kitti": nn.ModuleList(
+            [_Net(e, e, n) for n in zc.n_attractors])})
+        clb = nn.Module()
+        clb.mlp = conv_mlp(32 + e, (32 + e) // 4, 4)
+        self.conditional_log_binomial = nn.ModuleDict({"kitti": clb})
+
+
+def make_zoedepth_sd(zoe_cfg, lora_r: int = 0) -> dict:
+    return _np_sd(ZoeMirror(zoe_cfg, lora_r=lora_r))

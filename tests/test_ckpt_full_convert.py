@@ -197,3 +197,54 @@ def test_dav2_pretrained_lora_dump(tiny_model_variables):
     depth_params = C.convert_dav2(sd, cfg.depth)
     assert _unread(sd) == [], f"converter never read: {_unread(sd)[:10]}"
     assert_same_structure(depth_params, variables["params"]["depth"], "depth")
+
+
+ZOE_IGNORED_SUFFIXES = ("num_batches_tracked", "relative_position_index")
+
+
+def _tiny_zoe():
+    from veon_tpu.configs.base import ZoeConfig
+
+    return ZoeConfig(width=32, depth=4, heads=2, patch_size=16,
+                     hooks=(0, 1, 2, 3), pyramid_channels=(8, 8, 8, 8),
+                     features=8, n_bins=4, bin_embedding_dim=8,
+                     n_attractors=(2, 2, 1, 1), lora_r=4)
+
+
+def _zoe_unread(sd):
+    return sorted(
+        k for k in sd
+        if k not in sd.read
+        and not k.endswith(ZOE_IGNORED_SUFFIXES)
+        and not k.startswith(IGNORED_PREFIXES)
+    )
+
+
+@pytest.mark.parametrize("lora", [0, 4])
+def test_zoedepth_full_dress_rehearsal(lora):
+    """ZoeDepth-NK dump (MiDaS BEiT core + kitti bins head; with and
+    without the VEON adaptor's LoRA) converts with every key consumed and
+    exact structural agreement with nn.zoedepth.ZoeDepthNK's init tree."""
+    import jax.numpy as jnp
+
+    from ref_layout_mirror import make_zoedepth_sd
+    from veon_tpu.nn.zoedepth import ZoeDepthNK
+
+    zc = _tiny_zoe()
+    sd = TrackingSD(make_zoedepth_sd(zc, lora_r=lora))
+    params = C.convert_zoedepth(sd, zc)
+    assert _zoe_unread(sd) == [], f"converter never read: {_zoe_unread(sd)[:10]}"
+
+    model = ZoeDepthNK(cfg=zc)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32))
+    if lora:
+        assert_same_structure(params, variables["params"], "zoe")
+        merged = {"params": params}
+    else:
+        merged = {"params": C.merge_params(variables["params"], params)}
+        assert_same_structure(merged["params"], variables["params"], "zoe")
+    d = model.apply(
+        jax.tree_util.tree_map(jnp.asarray, merged),
+        jnp.zeros((1, 32, 32, 3), jnp.float32))
+    assert np.isfinite(np.asarray(d)).all()
