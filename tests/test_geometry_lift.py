@@ -290,6 +290,29 @@ def test_banded_lift_gradients_match_full():
     np.testing.assert_allclose(np.asarray(g_banded), np.asarray(g_full),
                                rtol=1e-4, atol=1e-5)
 
+    # d/d(metric depth) is APPROXIMATE (documented in
+    # banded_two_hot_with_floor): the full path's straight-through clamp
+    # feeds every out-of-band bin's +-gamma into Z while the banded
+    # normalizer term is an analytic constant. Bound the deviation here.
+    def loss_full_d(m):
+        return jnp.sum(lift(feat, two_hot_depth(m, grid), *args) ** 2)
+
+    def loss_banded_d(m):
+        return jnp.sum(lift.lift_from_metric(feat, m, *args) ** 2)
+
+    gd_full = np.asarray(jax.grad(loss_full_d)(metric))
+    gd_banded = np.asarray(jax.grad(loss_banded_d)(metric))
+    scale = np.abs(gd_full).max()
+    assert scale > 0
+    # measured: max deviation 3.6e-2 * max|grad| (out-of-range pixels whose
+    # clamped bins keep the straight-through +-gamma in the full path),
+    # mean 2e-3 * max|grad|. Dead in practice: full_forward stop_gradients
+    # the depth tower (veon.py full_forward), so d/d(depth) never flows.
+    np.testing.assert_allclose(gd_banded, gd_full, atol=5e-2 * scale,
+                               err_msg="banded d/d(depth) drifted beyond the "
+                               "documented bound")
+    assert np.abs(gd_banded - gd_full).mean() < 5e-3 * scale
+
 
 def test_presorted_lift_matches_full_and_grads():
     """lift_presorted (accelerate mode: host-precomputed sort, exact
@@ -343,3 +366,79 @@ def test_absolute_depth_and_sid():
     assert np.all(np.diff(sid) > 0) and np.diff(sid)[-1] > np.diff(sid)[0]
     fr = create_frustum(GRID, (16, 16), 4, sid=True)
     np.testing.assert_allclose(fr[:, 0, 0, 2], sid, rtol=1e-6)
+
+
+def test_temporal_prev_frame_alignment_consistency():
+    """Prev frames are lifted in their OWN ego frame (prepare_meta runs with
+    num_frame=1 per forward_early call — `configs/veon/...py:65`,
+    `san_in_veon_temporal.py:281-293`), and align_to_prev applies the whole
+    ego-motion warp. With an ego translation of an exact voxel multiple, the
+    align_corners grid_sample lands on voxel centers, so own-anchor lift +
+    warp must equal lifting the same cameras directly in the current key
+    frame. A frame-0 anchor (the pre-round-3 bug) double-counts the ego
+    motion and fails this by a 2x shift."""
+    import dataclasses
+
+    from veon_tpu.configs import presets
+    from veon_tpu.geometry.frustum import sensor2keyego_chain
+    from veon_tpu.model.veon import VeonModel
+
+    grid = GridConfig(x=(-8.0, 8.0, 0.8), y=(-8.0, 8.0, 0.8),
+                      z=(-1.0, 3.0, 0.8), depth=(1.0, 9.0, 0.5))
+    B, N, F = 1, 2, 2
+    lift = LSSLift(grid=grid, input_size=(16, 16), downsample=4,
+                   out_channels=3, ds_feat=(1, 1, 1), impl="scan")
+    s2e1, K, post_rot, post_tran, bda = _identity_metas(B, N)
+    # non-round intrinsics: the default fx=10/cx=8 rig puts frustum points
+    # EXACTLY on voxel boundaries ((u-cx)/fx * d hits multiples of 0.8),
+    # where the two paths' fp rounding legitimately bins differently
+    K[..., 0, 0] = 9.7
+    K[..., 1, 1] = 10.3
+    K[..., 0, 2] = 7.93
+    K[..., 1, 2] = 4.07
+    # second camera yawed 0.5 rad so the two frustums cover different voxels.
+    # NOT 90 degrees: an axis-aligned yaw maps depth planes straight onto x,
+    # and planes at d=4.0/8.0 land EXACTLY on voxel boundaries, where the
+    # two paths' fp rounding legitimately bins differently.
+    th = 0.5
+    R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]], np.float32)
+    s2e1[:, 1, :3, :3] = R
+    s2e = np.tile(s2e1[:, None], (1, F, 1, 1, 1))  # (B, F, N, 4, 4)
+    tx = 2 * 0.8  # ego moved exactly 2 voxels in x between frames
+    e2g = np.tile(np.eye(4, dtype=np.float32), (B, F, N, 1, 1))
+    e2g[:, 1, :, 0, 3] = -tx  # prev frame sat 2 voxels behind in global x
+
+    rng = np.random.default_rng(5)
+    feat = jnp.asarray(rng.standard_normal((B, N, 4, 4, 3)).astype(np.float32))
+    metric = jnp.asarray(rng.uniform(1.2, 8.5, size=(B, N, 4, 4)).astype(np.float32))
+    dw = two_hot_depth(metric, grid)
+
+    def lift_with(s2k_f):
+        return lift(feat, dw, s2k_f, jnp.asarray(K), jnp.asarray(post_rot),
+                    jnp.asarray(post_tran), jnp.asarray(bda))
+
+    s2e_flat = jnp.asarray(s2e.reshape(B, F * N, 4, 4))
+    e2g_flat = jnp.asarray(e2g.reshape(B, F * N, 4, 4))
+    s2k_own = sensor2keyego_chain(s2e_flat, e2g_flat, F, N)  # per-frame anchor
+    s2k_key = sensor2keyego_chain(s2e_flat, e2g_flat, F, N,
+                                  per_frame_anchor=False)  # frame-0 anchor
+
+    vox_own = lift_with(s2k_own[:, 1])   # prev frame, own ego coords
+    vox_direct = lift_with(s2k_key[:, 1])  # prev frame, current key coords
+
+    cfg = presets.veon_tiny_test()
+    cfg = dataclasses.replace(cfg, grid=grid, lss_feat_ds=(1, 1, 1))
+    model = VeonModel(cfg=cfg)
+    l2g = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)))
+    prev_l2g = l2g.at[:, 0, 3].add(-tx)
+    aligned = model.apply({}, vox_own, l2g, prev_l2g,
+                          method=VeonModel.align_to_prev)
+
+    a = np.asarray(aligned)
+    b = np.asarray(vox_direct)
+    # exclude a 3-voxel x-border (content shifts in/out of the two grids'
+    # coverage there) and 1 elsewhere for edge-of-grid binning
+    inner = (slice(None), slice(1, -1), slice(1, -1), slice(3, -3))
+    assert np.abs(b[inner]).max() > 0  # the comparison region is not empty
+    np.testing.assert_allclose(a[inner], b[inner], rtol=1e-4, atol=1e-5)

@@ -183,14 +183,52 @@ def voxel_ranks(
     return rank, valid
 
 
+def se3_inverse(m: jnp.ndarray) -> jnp.ndarray:
+    """Analytic inverse of rigid SE(3) matrices (..., 4, 4):
+    inv([R t; 0 1]) = [R^T -R^T t; 0 1].
+
+    Exact (no LU solve) and — critically on TPU — avoids a generic
+    `jnp.linalg.inv`/matmul chain whose DEFAULT precision is bf16:
+    nuScenes ego2global translations are O(1000 m), where bf16's 8-bit
+    mantissa costs ~2 m, silently corrupting voxel binning. All geometry
+    composition here runs fp32 with Precision.HIGHEST.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    r = m[..., :3, :3]
+    t = m[..., :3, 3]
+    rt = jnp.swapaxes(r, -1, -2)
+    new_t = -jnp.einsum("...ij,...j->...i", rt, t, precision=hi)
+    out = jnp.zeros_like(m)
+    out = out.at[..., :3, :3].set(rt)
+    out = out.at[..., :3, 3].set(new_t)
+    out = out.at[..., 3, 3].set(1.0)
+    return out
+
+
+def compose_se3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a @ b for (..., 4, 4) with fp32 HIGHEST precision (TPU defaults @ to
+    bf16, which is catastrophic for global-frame translations)."""
+    return jnp.einsum("...ij,...jk->...ik", a, b,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def sensor2keyego_chain(
-    sensor2egos: jnp.ndarray, ego2globals: jnp.ndarray, num_frames: int, num_cams: int
+    sensor2egos: jnp.ndarray, ego2globals: jnp.ndarray, num_frames: int,
+    num_cams: int, per_frame_anchor: bool = True,
 ) -> jnp.ndarray:
     """Compose per-frame sensor->keyego transforms.
 
     Semantics of `align_net_occ3d.py:328-352` (prepare_meta): the key frame's
     first camera's ego2global anchors the key ego frame;
     sensor2keyego = keyego2global^-1 @ ego2global @ sensor2ego.
+
+    VEON's occ decoder runs prepare_meta with num_frame=1 PER forward_early
+    call (`configs/veon/...dav2-nodepthcache.py:65`,
+    `san_in_veon_temporal.py:281-293` hands each previous frame only its own
+    metas) — so every frame is anchored at ITS OWN first camera's ego, and
+    the cross-frame ego-motion warp happens entirely in align_after_lss.
+    per_frame_anchor=True reproduces that; False gives the BEVDet-style
+    single key anchor (frame 0), kept for reference/testing.
 
     Args:
       sensor2egos: (B, F*N, 4, 4)
@@ -202,7 +240,15 @@ def sensor2keyego_chain(
     B = sensor2egos.shape[0]
     s2e = sensor2egos.reshape(B, num_frames, num_cams, 4, 4)
     e2g = ego2globals.reshape(B, num_frames, num_cams, 4, 4)
-    keyego2global = e2g[:, 0, 0]  # (B, 4, 4)
-    global2keyego = jnp.linalg.inv(keyego2global.astype(jnp.float64))
-    s2ke = global2keyego[:, None, None] @ e2g.astype(jnp.float64) @ s2e.astype(jnp.float64)
+    if per_frame_anchor:
+        keyego2global = e2g[:, :, 0]  # (B, F, 4, 4): each frame's cam-0 ego
+        global2keyego = se3_inverse(keyego2global)[:, :, None]
+    else:
+        keyego2global = e2g[:, 0, 0]  # (B, 4, 4)
+        global2keyego = se3_inverse(keyego2global)[:, None, None]
+    # fp32 + HIGHEST replaces the reference's `.double()` round-trip
+    # (prepare_meta :336-340): the f32 cancellation error at |t|~1000 m is
+    # ~6e-5 m — far below voxel size — while TPU-default bf16 matmuls here
+    # would cost ~2 m.
+    s2ke = compose_se3(compose_se3(global2keyego, e2g), s2e)
     return s2ke.astype(jnp.float32)

@@ -179,41 +179,21 @@ class VeonModel(nn.Module):
         def frame_feats(f):
             return {k: frame_flat(v, f) for k, v in clip_feats.items()}
 
-        flat0 = frame_flat(flat, 0) if F > 1 else flat
-        feats0_2d = frame_feats(0) if F > 1 else clip_feats
-        mask_preds, attn_bias, _san_feats = self.side_adapter(flat0, feats0_2d)
-        mask_embs = self.rec_head(feats0_2d, attn_bias, normalize=True)
-
         sensor2keyegos = sensor2keyego_chain(
             metas["sensor2egos"].reshape(B, F * N, 4, 4),
             metas["ego2globals"].reshape(B, F * N, 4, 4),
             F, N,
-        )  # (B, F, N, 4, 4)
+        )  # (B, F, N, 4, 4), each frame anchored at its OWN cam-0 ego
 
         def lift_frame(f, feats_f):
             """fuse(0) + LSS lift for frame f (`align_net_occ3d.py:268-318`)."""
-            attns_f, supp_f = self.hsa(frame_flat(flat, f), feats_f)
-            feats_f = self.rec_head.update_remaining(feats_f, attns_f)
-            clip_last = feats_f[str(c.san.clip_layers)]
-            lift_hw = mask_preds.shape[-2:]  # SAN grid == LSS feature grid
-            fused = self.lift_fusion(supp_f, clip_last, lift_hw)  # (B*N, h, w, C)
-            fused = fused.reshape((B, N) + fused.shape[1:])
-            d = depth[:, f]  # (B, N, h2, w2)
-            d_ds = min_pool_depth(d, 8)
             lift_args = (
                 sensor2keyegos[:, f], metas["intrins"][:, f],
                 metas["post_rots"][:, f], metas["post_trans"][:, f], metas["bda"],
             )
-            if "lift_sorted" in metas and f == 0 and F == 1:
-                # fixed-rig serving: rank sort precomputed outside the jit
-                # (LSSLift.precompute_sorted — the accelerate mode)
-                vox = self.lift.lift_presorted(
-                    fused, two_hot_depth(d_ds, c.grid), metas["lift_sorted"])
-            elif c.lss_banded:
-                vox = self.lift.lift_from_metric(fused, d_ds, *lift_args)
-            else:
-                vox = self.lift(fused, two_hot_depth(d_ds, c.grid), *lift_args)
-            return vox, feats_f
+            presorted = metas.get("lift_sorted") if (f == 0 and F == 1) else None
+            return self._early_vox(frame_flat(flat, f), feats_f, depth[:, f],
+                                   lift_args, presorted)
 
         # previous frames -> aligned early occ features (no gradient)
         occ_feat_prevs = []
@@ -225,8 +205,27 @@ class VeonModel(nn.Module):
             occ_feat_prevs.append(vox_prev)
 
         # current frame
-        feats_0 = frame_feats(0)
-        vox, feats_0 = lift_frame(0, feats_0)
+        flat0 = frame_flat(flat, 0) if F > 1 else flat
+        feats0_2d = frame_feats(0) if F > 1 else clip_feats
+        lift0_args = (
+            sensor2keyegos[:, 0], metas["intrins"][:, 0],
+            metas["post_rots"][:, 0], metas["post_trans"][:, 0], metas["bda"],
+        )
+        presorted0 = metas.get("lift_sorted") if F == 1 else None
+        return self._forward_current(flat0, feats0_2d, depth[:, 0], lift0_args,
+                                     ov_weight, occ_feat_prevs, B, N,
+                                     presorted=presorted0, train=train)
+
+    def _forward_current(self, flat0, feats0_2d, depth0, lift0_args, ov_weight,
+                         occ_feat_prevs, B, N, presorted=None,
+                         train: bool = False) -> VeonOutputs:
+        """Current-frame decode + lift + 3D head, shared by the batched
+        temporal path (__call__) and the streaming serving path."""
+        c = self.cfg
+        mask_preds, attn_bias, _san_feats = self.side_adapter(flat0, feats0_2d)
+        mask_embs = self.rec_head(feats0_2d, attn_bias, normalize=True)
+        vox, feats_0 = self._early_vox(flat0, feats0_2d, depth0, lift0_args,
+                                       presorted)
         occ = self.alignnet(vox, occ_feat_prevs if occ_feat_prevs else None, train=train)
 
         # upsample to the full occ grid (nz, ny, nx), channel-last
@@ -251,6 +250,105 @@ class VeonModel(nn.Module):
         }
         # outputs in fp32 regardless of compute dtype (eval/losses stability)
         return {k: v.astype(jnp.float32) for k, v in out.items()}
+
+    def _early_vox(self, flat_imgs_f, feats_f, depth_f, lift_args,
+                   presorted=None):
+        """One frame's HSA + deep-CLIP rerun + fuse + LSS lift
+        (`align_net_occ3d.py:268-318` forward_early, called per frame with
+        that frame's OWN metas — prepare_meta num_frame=1).
+
+        flat_imgs_f: (B*N, H, W, 3); depth_f: (B, N, h2, w2).
+        Returns (vox (B, Zf, Yf, Xf, C), updated feats_f).
+        """
+        c = self.cfg
+        B, N = depth_f.shape[:2]
+        attns_f, supp_f = self.hsa(flat_imgs_f, feats_f)
+        feats_f = self.rec_head.update_remaining(feats_f, attns_f)
+        clip_last = feats_f[str(c.san.clip_layers)]
+        lift_hw = (c.data.input_size[0] // c.lss_downsample,
+                   c.data.input_size[1] // c.lss_downsample)
+        fused = self.lift_fusion(supp_f, clip_last, lift_hw)  # (B*N, h, w, C)
+        fused = fused.reshape((B, N) + fused.shape[1:])
+        d_ds = min_pool_depth(depth_f, 8)
+        if presorted is not None:
+            # fixed-rig serving: rank sort precomputed outside the jit
+            # (LSSLift.precompute_sorted — the accelerate mode)
+            vox = self.lift.lift_presorted(
+                fused, two_hot_depth(d_ds, c.grid), presorted)
+        elif c.lss_banded:
+            vox = self.lift.lift_from_metric(fused, d_ds, *lift_args)
+        else:
+            vox = self.lift(fused, two_hot_depth(d_ds, c.grid), *lift_args)
+        return vox, feats_f
+
+    # ------------------------------------------------------------------
+    # streaming temporal serving (TPU-first addition; no reference
+    # counterpart — the reference recomputes every previous frame's full
+    # tower stack per call, `san_in_veon_temporal.py:158-173`)
+    # ------------------------------------------------------------------
+    def forward_early(self, imgs, depth, metas):
+        """Single-frame early pipeline for the streaming cache: CLIP trunk +
+        HSA + deep-CLIP rerun + fuse + lift, in THIS frame's own ego frame.
+
+        imgs: (B, 1, N, H, W, 3); depth: (B, 1, N, h2, w2) metric;
+        metas: the frame's own rig in the standard F=1 layout.
+        Returns vox (B, Zf, Yf, Xf, C) — identical to what full_forward's
+        prev-frame path would compute for this frame.
+        """
+        B, _F1, N = imgs.shape[:3]
+        flat = imgs.reshape((B * N,) + imgs.shape[3:])
+        h2 = (flat.shape[1] // 2, flat.shape[2] // 2)
+        clip_feats = self.clip_ext(resize_bilinear(flat, h2, align_corners=False))
+        s2k = sensor2keyego_chain(
+            metas["sensor2egos"].reshape(B, N, 4, 4),
+            metas["ego2globals"].reshape(B, N, 4, 4), 1, N)[:, 0]
+        lift_args = (s2k, metas["intrins"][:, 0], metas["post_rots"][:, 0],
+                     metas["post_trans"][:, 0], metas["bda"])
+        vox, _ = self._early_vox(flat, clip_feats, depth[:, 0], lift_args,
+                                 metas.get("lift_sorted"))
+        return vox
+
+    def full_forward_streaming(self, imgs, depth_imgs, metas, ov_weight,
+                               prev_vox, prev_lidarego2global,
+                               train: bool = False):
+        """Temporal forward where previous frames' lifted features come from
+        the streaming cache instead of being recomputed: steady-state cost =
+        single-frame cost + (F-1) x (grid_sample warp + temporal fusion).
+
+        imgs/depth_imgs: SINGLE-frame (B, 1, N, ...) batches;
+        prev_vox: (B, F-1, Zf, Yf, Xf, C) cached `forward_early` outputs of
+        the previous frames (frame t-1 first), each in its own ego frame;
+        prev_lidarego2global: (B, F-1, 4, 4).
+        Parity: == full_forward on the equivalent (B, F, N, ...) batch
+        (tests/test_model_graph.py::test_streaming_temporal_parity).
+        """
+        depth = jax.lax.stop_gradient(self.estimate_depth(depth_imgs))
+        return self.forward_streaming(imgs, depth, metas, ov_weight, prev_vox,
+                                      prev_lidarego2global, train=train)
+
+    def forward_streaming(self, imgs, depth, metas, ov_weight, prev_vox,
+                          prev_lidarego2global, train: bool = False):
+        """full_forward_streaming with the metric depth already estimated
+        (cached-depth serving regimes)."""
+        T = prev_vox.shape[1]
+        prevs = [
+            self.align_to_prev(jax.lax.stop_gradient(prev_vox[:, t]),
+                               metas["lidarego2global"],
+                               prev_lidarego2global[:, t])
+            for t in range(T)
+        ]
+        B, _F1, N = imgs.shape[:3]
+        flat0 = imgs.reshape((B * N,) + imgs.shape[3:])
+        h2 = (flat0.shape[1] // 2, flat0.shape[2] // 2)
+        feats0 = self.clip_ext(resize_bilinear(flat0, h2, align_corners=False))
+        s2k = sensor2keyego_chain(
+            metas["sensor2egos"].reshape(B, N, 4, 4),
+            metas["ego2globals"].reshape(B, N, 4, 4), 1, N)[:, 0]
+        lift0_args = (s2k, metas["intrins"][:, 0], metas["post_rots"][:, 0],
+                      metas["post_trans"][:, 0], metas["bda"])
+        return self._forward_current(
+            flat0, feats0, depth[:, 0], lift0_args, ov_weight, prevs, B, N,
+            presorted=metas.get("lift_sorted"), train=train)
 
     @staticmethod
     def semantic_inference_2d(mask_logits, mask_embs, mask_preds):
@@ -282,7 +380,12 @@ class VeonModel(nn.Module):
         zz, yy, xx = jnp.meshgrid(zs, ys, xs, indexing="ij")
         pts = jnp.stack([xx, yy, zz], axis=-1)  # (Z, Y, X, 3) xyz meters
 
-        cur2prev = jnp.linalg.inv(prev_lidarego2global) @ lidarego2global  # (B,4,4)
+        # analytic SE(3) inverse + HIGHEST: TPU-default bf16 matmuls on
+        # O(1000 m) global translations would shift the warp by meters
+        from ..geometry.frustum import compose_se3, se3_inverse
+
+        cur2prev = compose_se3(se3_inverse(prev_lidarego2global),
+                               lidarego2global)  # (B, 4, 4)
         hi = jax.lax.Precision.HIGHEST
         p = jnp.einsum("bij,zyxj->bzyxi", cur2prev[:, :3, :3], pts, precision=hi)
         p = p + cur2prev[:, None, None, None, :3, 3]

@@ -192,8 +192,10 @@ def proj_2d_to_3d_loss(
     cam2global = jnp.einsum(
         "bnij,bnjk->bnik", cam_metas["camego2global"], cam_metas["cam2camego"], precision=hi
     )
+    from ..geometry.frustum import se3_inverse
+
     lidarego2cam = jnp.einsum(
-        "bnij,bjk->bnik", jnp.linalg.inv(cam2global), cam_metas["lidarego2global"], precision=hi
+        "bnij,bjk->bnik", se3_inverse(cam2global), cam_metas["lidarego2global"], precision=hi
     )
     cam2img = jnp.zeros((B, N, 4, 4), jnp.float32)
     cam2img = cam2img.at[:, :, 3, 3].set(1.0)
