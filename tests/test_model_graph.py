@@ -100,6 +100,18 @@ def test_full_graph_temporal():
         assert not bool(jnp.isnan(v).any())
 
 
+def test_full_graph_temporal_t3():
+    """num_temporal=3 (README.md:254-266 trains N_T up to 4): exercises the
+    pairwise cat-conv chain in TemporalFusion (t_fuse_0 merges the two prev
+    frames, t_fuse_1 merges with current — Middle3x3Seq semantics,
+    align_net_occ3d.py:25-72) and the deformable stencil at F>2."""
+    cfg, refl, out = _run_model(num_temporal=3)
+    nx, ny, nz = cfg.grid.size
+    assert out["bin_occ"].shape == (1, nz, ny, nx, 2)
+    for v in out.values():
+        assert not bool(jnp.isnan(v).any())
+
+
 @pytest.mark.parametrize("preset", ["veon_l", "veon_l_zoe"])
 def test_veon_l_config_wiring_eval_shape(preset):
     """VEON-L (SAN ViT-L-14-336 + HSA-1024 + 768-d CLIP space), both depth
@@ -132,3 +144,60 @@ def test_veon_l_config_wiring_eval_shape(preset):
     assert out["sem_occ_raw"].shape == (1, nz, ny, nx, 67)
     assert cfg.propagation.clip_proj_dim == 768  # L-specific CLIP space
     assert out["clip_feat"].shape[-1] == 768
+
+
+def test_streaming_temporal_parity():
+    """Streaming serving (cache each frame's forward_early vox, reuse it as
+    "previous" next step) must equal the batched temporal recompute path —
+    same tensors by construction, so outputs match to fp tolerance. This is
+    the TPU-first serving mode with steady-state cost ~ T1 + warp + fusion
+    instead of the reference's full recompute (san_in_veon_temporal.py:
+    158-173)."""
+    cfg = presets.veon_tiny_test(num_temporal=2)
+    rng = np.random.default_rng(0)
+    B, F, N = 1, 2, 6
+    H, W = cfg.data.input_size
+    imgs = jnp.asarray(rng.standard_normal((B, F, N, H, W, 3)).astype(np.float32))
+    depth = jnp.asarray(
+        rng.uniform(1.0, 40.0, size=(B, F, N, H // 2, W // 2)).astype(np.float32)
+    )
+    metas = _metas(B, F, N, rng)
+    prompts, refl = text_mod.build_vocabulary()
+    ovw = jnp.asarray(
+        rng.standard_normal((len(prompts) + 1, cfg.san.clip_embed_dim)).astype(np.float32))
+
+    model = VeonModel(cfg=cfg)
+    params = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), imgs, depth, metas, ovw, train=False
+    )
+    out_ref = jax.jit(model.apply, static_argnames=("train",))(
+        params, imgs, depth, metas, ovw, train=False
+    )
+
+    # streaming: frame 1 (the previous frame) goes through forward_early
+    # with ITS OWN single-frame metas, gets cached, then the current frame
+    # runs forward_streaming against the cache
+    def frame_metas(f):
+        m = {k: v[:, f:f + 1] for k, v in metas.items()
+             if k in ("sensor2egos", "ego2globals", "intrins", "post_rots",
+                      "post_trans")}
+        m["bda"] = metas["bda"]
+        return m
+
+    vox_prev = jax.jit(
+        lambda p, i, d, m: model.apply(p, i, d, m, method=VeonModel.forward_early)
+    )(params, imgs[:, 1:2], depth[:, 1:2], frame_metas(1))
+
+    metas_cur = frame_metas(0)
+    metas_cur["lidarego2global"] = metas["lidarego2global"]
+    out_stream = jax.jit(
+        lambda p, i, d, m, o, pv, pl: model.apply(
+            p, i, d, m, o, pv, pl, method=VeonModel.forward_streaming)
+    )(params, imgs[:, 0:1], depth[:, 0:1], metas_cur, ovw,
+      vox_prev[:, None], metas["prev_lidarego2global"])
+
+    assert set(out_stream) == set(out_ref)
+    for k in out_ref:
+        np.testing.assert_allclose(
+            np.asarray(out_stream[k]), np.asarray(out_ref[k]),
+            rtol=2e-4, atol=2e-5, err_msg=k)

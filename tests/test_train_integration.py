@@ -137,3 +137,71 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["params"]["a"]),
                                   np.asarray(tree["params"]["a"]))
     assert int(restored["step"]) == 7
+
+
+def test_checkpoint_exact_epoch_resume(tmp_path):
+    """Resume epoch comes from the NEXT_EPOCH marker, not a
+    step//steps_per_epoch reconstruction (which breaks after any dataset or
+    shard-count change mid-run — mmcv runner.resume() stores epoch exactly)."""
+    from veon_tpu.ckpt.io import (checkpoint_next_epoch, find_latest,
+                                  save_checkpoint)
+
+    tree = {"step": jnp.asarray(42, jnp.int32)}
+    p_old = save_checkpoint(str(tmp_path), 10, tree)  # legacy: no marker
+    assert checkpoint_next_epoch(p_old) is None
+    p = save_checkpoint(str(tmp_path), 42, tree, next_epoch=3)
+    assert checkpoint_next_epoch(p) == 3
+    assert find_latest(str(tmp_path)) == p
+
+
+def test_train_step_temporal_t3_losses_finite_nonzero():
+    """One train step at num_temporal=3: the TemporalFusion pairwise chain
+    (t_fuse_0 + t_fuse_1) and the double stencil-deformable call are inside
+    the jitted backward, and the distillation loss stays nonzero (the same
+    certification dryrun_multichip makes at F=1). README.md:254-266 trains
+    N_T up to 4."""
+    from veon_tpu.cli.shapes import example_batch
+
+    cfg = presets.veon_tiny_test(num_temporal=3)
+    model = VeonModel(cfg=cfg, remat=True)
+    rng = np.random.default_rng(4)
+    imgs, depth, metas = example_batch(cfg, B=1)
+    prompts, refl = text_mod.build_vocabulary(cfg.vocabulary)
+    ovw = jnp.asarray(rng.standard_normal(
+        (len(prompts) + 1, cfg.san.clip_embed_dim)).astype(np.float32))
+    nx, ny, nz = cfg.grid.size
+    batch = {
+        "imgs": imgs, "depth": depth, "metas": metas,
+        "voxel_semantics": jnp.asarray(
+            rng.integers(0, 18, size=(1, nx, ny, nz)).astype(np.int32)),
+        "mask_camera": jnp.ones((1, nx, ny, nz), jnp.int32),
+        "ov_weight": ovw,
+        "epoch": jnp.asarray(0, jnp.int32),
+    }
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), imgs, depth, metas, ovw, train=True)
+    labels = trainable_mask(variables["params"], stage2_trainable)
+    tx = make_optimizer(labels=labels)
+    state = create_train_state(model, variables, tx)
+    membership = text_mod.merge_matrix(refl)
+    step = make_train_step(model, tx, cfg, membership, mesh=None)
+    state, losses = step(state, batch)
+    losses = jax.device_get(losses)
+    assert all(np.isfinite(v) for v in losses.values()), losses
+    assert float(losses["loss_binocc"]) > 0.0
+    assert float(losses["loss_featalign_soft"]) > 0.0
+
+
+def test_prefetch_to_device_order_and_content():
+    """H2D double-buffering must preserve order and values while keeping
+    `size` batches in flight (train/loop.py prefetch_to_device)."""
+    from veon_tpu.train.loop import prefetch_to_device
+
+    batches = [{"x": np.full((2, 2), i, np.float32), "epoch": np.asarray(i)}
+               for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["x"], jnp.ndarray)
+        np.testing.assert_array_equal(np.asarray(b["x"]), np.full((2, 2), i))
+        assert int(b["epoch"]) == i
