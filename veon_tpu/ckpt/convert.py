@@ -659,6 +659,13 @@ def fuse_conv_bn(params: Dict, batch_stats: Dict,
             new_s = dict(s)
             new_s["bn"] = {"mean": np.zeros_like(mu),
                            "var": np.full_like(var, 1.0 - eps)}
+            # keep walking the node's OTHER children: a layout that nests
+            # further conv/bn pairs under a fused node must still be folded
+            for key, v in p.items():
+                sub_s = new_s.get(key)
+                if key not in ("conv", "bn") and isinstance(v, dict) \
+                        and isinstance(sub_s, dict):
+                    new_p[key], new_s[key] = walk(v, sub_s)
             return new_p, new_s
         out_p, out_s = dict(p), dict(s) if isinstance(s, dict) else s
         for key, v in p.items():

@@ -180,15 +180,22 @@ def cmd_train(args):
     state = create_train_state(model, variables, tx)
     start_epoch = 0
     if args.auto_resume:
-        from ..ckpt.io import find_latest, load_checkpoint
+        from ..ckpt.io import checkpoint_next_epoch, find_latest, load_checkpoint
 
         latest = find_latest(args.work_dir)
         if latest is not None:
             state = load_checkpoint(latest, target=state)
-            start_epoch = int(np.asarray(state.step)) // max(len(
-                NuScenesOccDataset(infos=load_infos(args.ann), data_cfg=cfg.data,
-                                   grid=cfg.grid)) // args.batch_size, 1)
-            print(f"auto-resumed from {latest} (epoch ~{start_epoch})")
+            # exact epoch from the checkpoint's NEXT_EPOCH marker (immune to
+            # dataset/shard-count changes mid-run); step//steps_per_epoch
+            # only as a fallback for pre-marker checkpoints
+            start_epoch = checkpoint_next_epoch(latest)
+            if start_epoch is None:
+                start_epoch = int(np.asarray(state.step)) // max(
+                    len(ds) // args.batch_size, 1)
+                print(f"auto-resumed from {latest} (no NEXT_EPOCH marker; "
+                      f"estimated epoch ~{start_epoch})")
+            else:
+                print(f"auto-resumed from {latest} (epoch {start_epoch})")
     devices = jax.devices()
     mesh = Mesh(np.asarray(devices), ("batch",)) if len(devices) > 1 else None
     membership = text_mod.merge_matrix(refl)
@@ -208,6 +215,7 @@ def cmd_test(args):
     import jax
     import jax.numpy as jnp
 
+    from ..ckpt.io import load_checkpoint
     from ..data.loader import DataLoader
     from ..data.nuscenes import NuScenesOccDataset, load_infos
     from ..model.veon import fusion_rule
@@ -220,8 +228,6 @@ def cmd_test(args):
         bpe_path=getattr(args, "bpe_path", None),
     )
     if args.ckpt:
-        from ..ckpt.io import load_checkpoint
-
         state = load_checkpoint(args.ckpt)
         variables = {"params": state["ema_params" if args.ema else "params"],
                      "batch_stats": state["ema_batch_stats" if args.ema else "batch_stats"]}
@@ -267,6 +273,11 @@ def cmd_test(args):
                 "batch_stats": state["ema_batch_stats" if args.ema
                                      else "batch_stats"],
             }
+            if getattr(args, "fuse_conv_bn", False):
+                from ..ckpt.convert import fuse_conv_bn
+
+                variables["params"], variables["batch_stats"] = fuse_conv_bn(
+                    variables["params"], variables.get("batch_stats", {}))
             sweep[step_n] = evaluate_occ(predict, loader, ovw)
             print(f"step {step_n}: {json.dumps(sweep[step_n])}")
         print(json.dumps({"sweep": sweep}, indent=2))
@@ -456,8 +467,57 @@ def cmd_benchmark(args):
     bench.main()
 
 
+def _resolve_weights_dir(weights_dir: str, preset: str):
+    """Map the reference README's checkpoint layout (`README.md:118-131,
+    198-236` + tools/misc/process_san_pth.py) onto converter inputs, with
+    loud messages for anything missing. Expected layout under weights_dir:
+
+      clipsan/SAN_ViT-B.pth | SAN_ViT-L.pth   (or raw san_vit_b_16.pth /
+                                               san_vit_large_14.pth)
+      depth_pretrain/depthanythingv2_pretrain_large.pth  (finetuned; or the
+        published depthanythingv2/depth_anything_v2_metric_vkitti_vitl.pth)
+      depth_pretrain/zoedepth_pretrain.pth               (zoe presets)
+      bpe_simple_vocab_16e6.txt.gz                       (CLIP tokenizer)
+    """
+    import os
+
+    large = "_l" in preset
+    zoe = "zoe" in preset
+    found, missing = {}, []
+
+    def pick(key, candidates, required=True):
+        for c in candidates:
+            p = os.path.join(weights_dir, c)
+            if os.path.isfile(p):
+                found[key] = p
+                return
+        if required:
+            missing.append(f"{key}: expected one of {candidates}")
+
+    pick("san", ["clipsan/SAN_ViT-L.pth", "clipsan/san_vit_large_14.pth"]
+         if large else ["clipsan/SAN_ViT-B.pth", "clipsan/san_vit_b_16.pth"])
+    if zoe:
+        pick("depth", ["depth_pretrain/zoedepth_pretrain.pth"])
+    else:
+        pick("depth", [
+            "depth_pretrain/depthanythingv2_pretrain_large.pth",
+            "depthanythingv2/depth_anything_v2_metric_vkitti_vitl.pth",
+        ])
+    pick("bpe", ["bpe_simple_vocab_16e6.txt.gz",
+                 "clipsan/bpe_simple_vocab_16e6.txt.gz"], required=False)
+    if missing:
+        raise FileNotFoundError(
+            "weights-dir is missing required checkpoints (see the reference "
+            "README.md:118-131 for the layout):\n  " + "\n  ".join(missing))
+    return found
+
+
 def cmd_selftest(args):
-    """Synthetic end-to-end smoke on the current backend (tiny config)."""
+    """Synthetic end-to-end smoke on the current backend (tiny config), or —
+    with --weights-dir — the WEIGHTS-ARRIVAL DRILL: convert the reference's
+    published checkpoints, load them into the production preset, run the
+    full forward, and score a tiny synthetic mIoU so checkpoint-arrival day
+    is one command instead of a debugging session."""
     import jax
     import jax.numpy as jnp
 
@@ -465,6 +525,9 @@ def cmd_selftest(args):
     from ..model.veon import VeonModel, fusion_rule
     from ..nn import text as text_mod
     from ..cli.shapes import example_batch
+
+    if getattr(args, "weights_dir", None):
+        return _selftest_weights(args)
 
     cfg = presets.veon_tiny_test()
     model = VeonModel(cfg=cfg)
@@ -481,6 +544,53 @@ def cmd_selftest(args):
     pred = fusion_rule(merged, out["bin_occ"])
     print("selftest ok:", {k: tuple(v.shape) for k, v in out.items()},
           "pred", pred.shape)
+
+
+def _selftest_weights(args):
+    """The 5-step weights-arrival runbook (README.md 'weights drill'):
+    1. resolve the README layout, 2. convert every dialect, 3. load into the
+    production preset (every checkpoint key must be consumed), 4. jit one
+    full forward, 5. fusion-rule predict + mIoU vs a synthetic GT. Any
+    failure names the step and file."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..cli.shapes import example_batch_full
+    from ..eval.miou import MIoUMetric
+    from ..model.veon import VeonModel, fusion_rule
+    from ..nn import text as text_mod
+
+    cfg = _build_cfg(args)
+    paths = _resolve_weights_dir(args.weights_dir, args.preset)
+    print(f"[1/5] resolved weights: { {k: v for k, v in paths.items()} }")
+
+    model, variables, ovw, refl, extras = _build_model_and_params(
+        cfg, san_ckpt=paths["san"], depth_ckpt=paths["depth"],
+        bpe_path=getattr(args, "bpe_path", None) or paths.get("bpe"),
+    )
+    if "text_tower" not in extras:
+        print("WARNING: checkpoint carried no ov_classifier text tower — "
+              "the classifier stays random; mIoU below is structural only")
+    print("[2/5] converted + [3/5] loaded into", args.preset)
+
+    imgs, depth_imgs, metas = example_batch_full(cfg, B=1)
+    out = jax.jit(model.apply, static_argnames=("train", "method"))(
+        variables, imgs, depth_imgs, metas, ovw, train=False,
+        method=VeonModel.full_forward)
+    print("[4/5] full forward ok:", {k: tuple(v.shape) for k, v in out.items()})
+
+    membership = text_mod.merge_matrix(refl)
+    merged = text_mod.merge_classes_max(out["sem_occ_raw"], membership, axis=-1)
+    pred = np.asarray(fusion_rule(merged, out["bin_occ"]))
+    rng = np.random.default_rng(0)
+    gt = rng.integers(0, 18, size=pred.shape).astype(np.int32)
+    metric = MIoUMetric()
+    metric.add_batch(pred, gt, mask_camera=np.ones_like(gt, bool))
+    _, _, miou = metric.count_miou()
+    print(f"[5/5] tiny-fixture mIoU vs synthetic GT: {miou:.2f} "
+          "(structural check — run `test --ann <val infos>` for the real "
+          "Occ3D number)")
+    return {"miou": miou}
 
 
 def cmd_vis(args):
@@ -606,6 +716,10 @@ def main(argv=None):
                        help="this process's rank (also read from NODE_RANK)")
         p.add_argument("--temporal-start-epoch", type=int, default=0,
                        help="epoch at which previous frames engage (SequentialControlHook)")
+        p.add_argument("--weights-dir", default=None,
+                       help="selftest: reference-README ckpts/ layout dir — "
+                            "runs the weights-arrival drill (convert + load "
+                            "+ forward + tiny mIoU)")
 
     for name, fn in [("train", cmd_train), ("test", cmd_test),
                      ("cache-depth", cmd_cache_depth),

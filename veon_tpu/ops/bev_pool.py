@@ -101,7 +101,10 @@ def _accum_stream(t, s0, s1, vals_hbm, rk_hbm, acc_ref, vals_buf, rk_buf,
     re-read a boundary chunk). Empty blocks (s1 == s0) issue no DMA at all.
     """
     base = (s0 // BEV_POOL_CHUNK) * BEV_POOL_CHUNK
-    n_chunks = (s1 - base + BEV_POOL_CHUNK - 1) // BEV_POOL_CHUNK
+    # s1 <= s0 (empty block) must yield 0 chunks even when s0 is not
+    # CHUNK-aligned (the raw ceil would be 1 fully-masked chunk)
+    n_chunks = jnp.where(
+        s1 > s0, (s1 - base + BEV_POOL_CHUNK - 1) // BEV_POOL_CHUNK, 0)
 
     def start(i, slot):
         off = base + i * BEV_POOL_CHUNK
