@@ -21,10 +21,29 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(directory: str, step: int, state: Any) -> str:
+def save_checkpoint(directory: str, step: int, state: Any,
+                    next_epoch: Optional[int] = None) -> str:
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
     _checkpointer().save(path, jax.device_get(state), force=True)
+    if next_epoch is not None:
+        # exact-epoch resume marker (mmcv runner.resume() stores epoch in
+        # the .pth meta; orbax pytrees don't carry scalars conveniently, so
+        # a sidecar file records "the next epoch to run"). Written AFTER the
+        # tree save so a torn save can't point past real data.
+        with open(os.path.join(path, "NEXT_EPOCH"), "w") as f:
+            f.write(str(int(next_epoch)))
     return path
+
+
+def checkpoint_next_epoch(path: str) -> Optional[int]:
+    """Exact resume epoch recorded by save_checkpoint, or None for
+    checkpoints from before the marker existed (callers fall back to the
+    step//steps_per_epoch estimate)."""
+    marker = os.path.join(os.path.abspath(path), "NEXT_EPOCH")
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            return int(f.read().strip())
+    return None
 
 
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:

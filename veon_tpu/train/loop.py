@@ -26,6 +26,24 @@ def _to_device(batch):
     )
 
 
+def prefetch_to_device(batches, size: int = 2):
+    """H2D double-buffering: keep `size` batches already device_put ahead of
+    consumption, so the next batch's host->device transfer overlaps the
+    current step's compute (jax.device_put is async — no extra thread
+    needed). The flax.jax_utils.prefetch_to_device counterpart for a single
+    device; the torch counterpart is the CUDA pin_memory+non_blocking copy.
+    """
+    import collections
+
+    queue = collections.deque()
+    for b in batches:
+        queue.append(_to_device(b))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def _truncate_temporal(batch):
     """Use only the current frame (the SequentialControlHook equivalent,
     `core/hook/sequentialcontrol.py:9-27`: with_prev stays False until the
@@ -63,15 +81,20 @@ def train_epochs(
     for epoch in range(start_epoch, max_epochs):
         loader.set_epoch(epoch)
         t0 = time.perf_counter()
-        for it, batch in enumerate(loader):
-            tokens = batch.pop("token", None)
-            batch.pop("gt_depth", None)
-            batch.pop("mask_lidar", None)
-            if epoch < temporal_start_epoch:
-                batch = _truncate_temporal(batch)
-            batch["ov_weight"] = ov_weight
-            batch["epoch"] = jnp.asarray(epoch, jnp.int32)
-            state, losses = step_fn(state, _to_device(batch))
+
+        def prepped():
+            for batch in loader:
+                batch.pop("token", None)
+                batch.pop("gt_depth", None)
+                batch.pop("mask_lidar", None)
+                if epoch < temporal_start_epoch:
+                    batch = _truncate_temporal(batch)
+                batch["ov_weight"] = ov_weight
+                batch["epoch"] = np.asarray(epoch, np.int32)
+                yield batch
+
+        for it, batch in enumerate(prefetch_to_device(prepped(), size=2)):
+            state, losses = step_fn(state, batch)
             if (it + 1) % log_interval == 0:
                 losses = jax.device_get(losses)
                 dt = (time.perf_counter() - t0) / (it + 1)
@@ -82,7 +105,8 @@ def train_epochs(
                     scalars = {k: float(v) for k, v in losses.items()}
                     scalars["sec_per_iter"] = dt
                     writer.write(scalars, int(jax.device_get(state.step)), epoch)
-        save_checkpoint(work_dir, int(jax.device_get(state.step)), state)
+        save_checkpoint(work_dir, int(jax.device_get(state.step)), state,
+                        next_epoch=epoch + 1)
         log_fn(f"saved checkpoint for epoch {epoch + 1}")
     return state
 
