@@ -59,17 +59,63 @@ def main():
     per_frame = sorted(times)[1] / N_ITERS
     fps = 1.0 / per_frame
 
+    detail = {
+        "ms_per_frame": round(per_frame * 1e3, 2),
+        "device_loop_iters": N_ITERS,
+        "compile_s": round(compile_s, 1),
+    }
+    # fp32 fidelity row, SAME RUN (BASELINE.md "fp32 fidelity" anchor): the
+    # bf16 headline must be accompanied by the full-precision number so the
+    # precision/speed trade stays visible. Skippable if the driver's wall
+    # budget ever tightens (VEON_BENCH_FP32=0).
+    if os.environ.get("VEON_BENCH_FP32", "1") != "0":
+        try:
+            fp32 = _measure_fp32()
+            detail["fp32_fps"] = round(fp32["fps"], 3)
+            detail["fp32_ms_per_frame"] = round(fp32["ms"], 2)
+        except Exception as e:  # never lose the headline to the extra row
+            detail["fp32_error"] = repr(e)[:200]
+
     print(json.dumps({
         "metric": "veon_b_6cam_frames_per_sec_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 25.0, 4),
-        "detail": {
-            "ms_per_frame": round(per_frame * 1e3, 2),
-            "device_loop_iters": N_ITERS,
-            "compile_s": round(compile_s, 1),
-        },
+        "detail": detail,
     }))
+
+
+def _measure_fp32(iters: int = 6):
+    """Same-run fp32 full-graph measurement (round-1's 4.99 fps was from a
+    different process — chip time-sharing makes cross-run numbers
+    incomparable, NOTES.md 'trust only same-run A/B')."""
+    import jax
+    import jax.numpy as jnp
+
+    os.environ["VEON_ENTRY_DTYPE"] = "float32"
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    params, imgs, depth_imgs, metas, ovw = args
+    eps = jnp.linspace(0.0, 1e-3, iters)
+
+    @jax.jit
+    def many(params, imgs, depth_imgs, metas, ovw):
+        def body(c, e):
+            out = fn(params, imgs + e, depth_imgs + e, metas, ovw)
+            return c + out.sum(), None
+
+        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), eps)
+        return c
+
+    float(many(params, imgs, depth_imgs, metas, ovw))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(many(params, imgs, depth_imgs, metas, ovw))
+        times.append(time.perf_counter() - t0)
+    ms = sorted(times)[1] / iters * 1e3
+    return {"fps": 1000.0 / ms, "ms": ms}
 
 
 if __name__ == "__main__":

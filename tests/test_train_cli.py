@@ -192,3 +192,28 @@ def test_text_classifier_from_extras():
     # returned tower params reusable for free-text encoding
     emb = enc2.apply(text_params, jnp.zeros((1, cfg.san.text_context_length), jnp.int32))
     assert emb.shape == (1, cfg.san.clip_embed_dim)
+
+
+def test_weights_dir_resolution(tmp_path):
+    """The weights-arrival drill resolves the reference README's ckpts/
+    layout (README.md:118-131) and names exactly what is missing."""
+    import pytest
+
+    from veon_tpu.cli.main import _resolve_weights_dir
+
+    with pytest.raises(FileNotFoundError) as e:
+        _resolve_weights_dir(str(tmp_path), "veon_b")
+    assert "clipsan/SAN_ViT-B.pth" in str(e.value)
+
+    (tmp_path / "clipsan").mkdir()
+    (tmp_path / "clipsan" / "SAN_ViT-B.pth").write_bytes(b"x")
+    (tmp_path / "depth_pretrain").mkdir()
+    (tmp_path / "depth_pretrain" / "depthanythingv2_pretrain_large.pth").write_bytes(b"x")
+    got = _resolve_weights_dir(str(tmp_path), "veon_b")
+    assert got["san"].endswith("SAN_ViT-B.pth")
+    assert "bpe" not in got
+
+    # zoe preset wants the zoedepth pretrain file instead
+    with pytest.raises(FileNotFoundError) as e:
+        _resolve_weights_dir(str(tmp_path), "veon_b_zoe")
+    assert "zoedepth_pretrain.pth" in str(e.value)

@@ -1,0 +1,129 @@
+"""Input-pipeline throughput proof: can the DataLoader feed the model?
+
+Writes N synthetic nuScenes-resolution (900x1600) 6-camera frames as real
+JPEGs + an infos pkl, then measures end-to-end DataLoader frames/s through
+the REAL NuScenesOccDataset pipeline (JPEG decode via the native libjpeg
+fast path when available, resize/normalize/aug, meta assembly) at a given
+worker count. The reference counterpart is mmcv's CPU worker pool
+(`build_dataloader`, `apis/train.py:186-200`).
+
+Usage: python -m veon_tpu.utils.loader_bench [--frames 100] [--workers 4]
+       [--size 900 1600] [--keep DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import shutil
+import tempfile
+import time
+
+import numpy as np
+
+
+def make_frames(root: str, n_frames: int, hw=(900, 1600), quality: int = 90):
+    from PIL import Image
+
+    cams = ["CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
+            "CAM_BACK_LEFT", "CAM_BACK", "CAM_BACK_RIGHT"]
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.join(root, "imgs"), exist_ok=True)
+    # realistic JPEG entropy: smooth gradients + noise (a pure-noise image
+    # decodes slower than real photos; pure-flat decodes faster)
+    h, w = hw
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (127 + 60 * np.sin(xx / 97.0) * np.cos(yy / 53.0)).astype(np.float32)
+    infos = []
+    img_cache = {}
+    for si in range(n_frames):
+        cams_d = {}
+        for ci, cam in enumerate(cams):
+            p = os.path.join(root, "imgs", f"s{si}_{cam}.jpg")
+            key = (si % 8, ci)  # 48 distinct JPEGs, reused across frames
+            if key not in img_cache:
+                noise = rng.normal(0, 12, size=(h, w, 3))
+                img = np.clip(base[..., None] + noise + ci * 7, 0, 255)
+                fp = os.path.join(root, "imgs", f"u{key[0]}_{ci}.jpg")
+                Image.fromarray(img.astype(np.uint8)).save(fp, quality=quality)
+                img_cache[key] = fp
+            if not os.path.exists(p):
+                os.link(img_cache[key], p)
+            th = ci * np.pi / 3
+            q = [np.cos(th / 2), 0.0, 0.0, np.sin(th / 2)]
+            cams_d[cam] = {
+                "data_path": p,
+                "cam_intrinsic": [[1266.0, 0, 800], [0, 1266.0, 477], [0, 0, 1]],
+                "sensor2ego_rotation": q,
+                "sensor2ego_translation": [0.0, 0.0, 1.5],
+                "ego2global_rotation": [1.0, 0, 0, 0],
+                "ego2global_translation": [si * 1.0, 0.0, 0.0],
+            }
+        infos.append({
+            "token": f"tok{si}",
+            "timestamp": si,
+            "scene_token": "scene0",
+            "occ_path": os.path.join(root, "occ"),
+            "ego2global_rotation": [1.0, 0, 0, 0],
+            "ego2global_translation": [si * 1.0, 0.0, 0.0],
+            "cams": cams_d,
+        })
+    occ_dir = os.path.join(root, "occ")
+    os.makedirs(occ_dir, exist_ok=True)
+    rng2 = np.random.default_rng(1)
+    np.savez(os.path.join(occ_dir, "labels.npz"),
+             semantics=rng2.integers(0, 18, size=(200, 200, 16)).astype(np.uint8),
+             mask_lidar=np.ones((200, 200, 16), np.uint8),
+             mask_camera=np.ones((200, 200, 16), np.uint8))
+    pkl = os.path.join(root, "infos.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump({"infos": infos, "metadata": {"version": "bench"}}, f)
+    return pkl
+
+
+def run(n_frames=100, workers=4, hw=(900, 1600), keep=None, num_temporal=1):
+    from ..configs import presets
+    from ..data.loader import DataLoader
+    from ..data.nuscenes import NuScenesOccDataset, load_infos
+
+    root = keep or tempfile.mkdtemp(prefix="veon_loader_bench_")
+    try:
+        t0 = time.perf_counter()
+        pkl = make_frames(root, n_frames, hw)
+        print(f"fixture: {n_frames} frames x 6 cams @ {hw} in "
+              f"{time.perf_counter() - t0:.1f}s")
+        cfg = presets.veon_b(num_temporal=num_temporal)
+        ds = NuScenesOccDataset(infos=load_infos(pkl), data_cfg=cfg.data,
+                                grid=cfg.grid, num_temporal=num_temporal,
+                                is_train=False, data_root=root,
+                                load_lidar_depth=False)
+        loader = DataLoader(ds, batch_size=1, shuffle=False,
+                            num_workers=workers, drop_last=False)
+        # warm one batch (thread-pool spinup, file cache)
+        next(iter(loader))
+        t0 = time.perf_counter()
+        n = 0
+        for batch in loader:
+            n += batch["imgs"].shape[0]
+        dt = time.perf_counter() - t0
+        fps = n / dt
+        print(f"loader: {n} frames in {dt:.1f}s = {fps:.2f} frames/s "
+              f"({workers} workers, {os.cpu_count()} cores) — "
+              f"{fps * 6:.1f} JPEG decodes+transforms/s")
+        return fps
+    finally:
+        if keep is None:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--size", type=int, nargs=2, default=(900, 1600))
+    ap.add_argument("--num-temporal", type=int, default=1)
+    ap.add_argument("--keep", default=None)
+    args = ap.parse_args()
+    run(args.frames, args.workers, tuple(args.size), args.keep,
+        args.num_temporal)
