@@ -196,8 +196,18 @@ def test_streaming_temporal_parity():
     )(params, imgs[:, 0:1], depth[:, 0:1], metas_cur, ovw,
       vox_prev[:, None], metas["prev_lidarego2global"])
 
-    assert set(out_stream) == set(out_ref)
+    # streaming additionally returns the current frame's pre-fusion vox so
+    # the serving loop can cache it for the next step at zero extra cost
+    assert set(out_stream) == set(out_ref) | {"early_vox"}
     for k in out_ref:
         np.testing.assert_allclose(
             np.asarray(out_stream[k]), np.asarray(out_ref[k]),
             rtol=2e-4, atol=2e-5, err_msg=k)
+
+    # the cached vox must equal what forward_early would produce for the
+    # current frame (it becomes the next step's prev_vox)
+    vox_cur = jax.jit(
+        lambda p, i, d, m: model.apply(p, i, d, m, method=VeonModel.forward_early)
+    )(params, imgs[:, 0:1], depth[:, 0:1], frame_metas(0))
+    np.testing.assert_allclose(np.asarray(out_stream["early_vox"]),
+                               np.asarray(vox_cur), rtol=2e-4, atol=2e-5)

@@ -664,6 +664,49 @@ def cmd_vis(args):
           f"and {img0.shape[0]} semseg overlays in", args.work_dir)
 
 
+def cmd_serve(args):
+    """Load-and-serve: bind the flagship inference graph (params + fixed rig
+    + classifier on device) and answer per-frame requests over a unix
+    socket (serve/server.py; python + C++ clients). The reference stops at
+    TRT engine creation — this is the consuming runtime.
+
+    Request tensors: imgs (B,F,N,H,W,3) clipsan-normalized,
+    depth_imgs (B,F,N,hd,wd,3) depth-normalized. Response: pred (B,X,Y,Z)
+    int32 fusion-rule classes + sem_occ_raw logits + server_ms.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    from __graft_entry__ import entry
+
+    from ..serve.server import TensorServer
+
+    fn, (params, imgs, depth_imgs, metas, ovw) = entry()
+    jit_fn = jax.jit(fn)
+    print("warming (compiles the serving graph)...", flush=True)
+    jax.block_until_ready(jit_fn(params, imgs, depth_imgs, metas, ovw))
+
+    def handler(**req):
+        out = jit_fn(params, jnp.asarray(req["imgs"]),
+                     jnp.asarray(req["depth_imgs"]), metas, ovw)
+        return {"pred": np.asarray(out)}
+
+    sock = args.socket
+    srv = TensorServer(handler, sock, required=("imgs", "depth_imgs"))
+    srv.start()
+    print(f"serving on {sock} (expected imgs {tuple(imgs.shape)}, "
+          f"depth_imgs {tuple(depth_imgs.shape)}); ctrl-c to stop", flush=True)
+    try:
+        import time as _t
+
+        while True:
+            _t.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+
+
 def cmd_export(args):
     """Serving export (`tools/convert_bevdet_to_TRT.py` counterpart): freeze
     the flagship inference graph to a StableHLO artifact loadable without
@@ -716,6 +759,8 @@ def main(argv=None):
                        help="this process's rank (also read from NODE_RANK)")
         p.add_argument("--temporal-start-epoch", type=int, default=0,
                        help="epoch at which previous frames engage (SequentialControlHook)")
+        p.add_argument("--socket", default="/tmp/veon_serve.sock",
+                       help="serve: unix socket path")
         p.add_argument("--weights-dir", default=None,
                        help="selftest: reference-README ckpts/ layout dir — "
                             "runs the weights-arrival drill (convert + load "
@@ -725,7 +770,8 @@ def main(argv=None):
                      ("cache-depth", cmd_cache_depth),
                      ("pretrain-depth", cmd_pretrain_depth),
                      ("benchmark", cmd_benchmark), ("selftest", cmd_selftest),
-                     ("export", cmd_export), ("vis", cmd_vis)]:
+                     ("export", cmd_export), ("serve", cmd_serve),
+                     ("vis", cmd_vis)]:
         p = sub.add_parser(name)
         common(p)
         p.set_defaults(fn=fn)

@@ -218,7 +218,8 @@ class VeonModel(nn.Module):
 
     def _forward_current(self, flat0, feats0_2d, depth0, lift0_args, ov_weight,
                          occ_feat_prevs, B, N, presorted=None,
-                         train: bool = False) -> VeonOutputs:
+                         train: bool = False,
+                         return_early_vox: bool = False) -> VeonOutputs:
         """Current-frame decode + lift + 3D head, shared by the batched
         temporal path (__call__) and the streaming serving path."""
         c = self.cfg
@@ -249,7 +250,12 @@ class VeonModel(nn.Module):
             "sem_occ_raw": sem_occ_raw,
         }
         # outputs in fp32 regardless of compute dtype (eval/losses stability)
-        return {k: v.astype(jnp.float32) for k, v in out.items()}
+        out = {k: v.astype(jnp.float32) for k, v in out.items()}
+        if return_early_vox:
+            # kept in compute dtype: it feeds the next step's align/fusion
+            # exactly as the recompute path's stop_gradient'd vox would
+            out["early_vox"] = jax.lax.stop_gradient(vox)
+        return out
 
     def _early_vox(self, flat_imgs_f, feats_f, depth_f, lift_args,
                    presorted=None):
@@ -346,9 +352,14 @@ class VeonModel(nn.Module):
             metas["ego2globals"].reshape(B, N, 4, 4), 1, N)[:, 0]
         lift0_args = (s2k, metas["intrins"][:, 0], metas["post_rots"][:, 0],
                       metas["post_trans"][:, 0], metas["bda"])
+        # return_early_vox: the current frame's pre-fusion lifted features
+        # come back with the outputs so the serving loop caches them for the
+        # NEXT step at zero extra cost (they are computed anyway) — this is
+        # what makes steady-state cost ~ T1 + warp + fusion.
         return self._forward_current(
             flat0, feats0, depth[:, 0], lift0_args, ov_weight, prevs, B, N,
-            presorted=metas.get("lift_sorted"), train=train)
+            presorted=metas.get("lift_sorted"), train=train,
+            return_early_vox=True)
 
     @staticmethod
     def semantic_inference_2d(mask_logits, mask_embs, mask_preds):
