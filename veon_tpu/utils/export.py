@@ -23,6 +23,23 @@ def export_inference(fn, example_args, path: str) -> str:
     return path
 
 
+def export_mlir(fn, example_args, path: str) -> str:
+    """Serialize the traced StableHLO MLIR module itself (text) — the input
+    format of the native PJRT host runner (`native/pjrt_runner.cpp`), which
+    compiles it through any PJRT C-API plugin (libtpu.so on TPU hosts)
+    without python/jax. The .stablehlo artifact (export_inference) carries
+    calling-convention metadata for jax; this carries the raw module for
+    everything else."""
+    import jax
+    from jax import export as jexport
+
+    exp = jexport.export(jax.jit(fn))(*example_args)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(exp.mlir_module())
+    return path
+
+
 def load_inference(path: str):
     """Load a serialized inference artifact; returns a callable."""
     from jax import export as jexport
