@@ -89,6 +89,13 @@ def _bev_pool_scan(depth, feat, ranks, num_cells, unroll=1):
 
 BEV_POOL_BLOCK_CELLS = 1024
 BEV_POOL_CHUNK = 512
+# Rank-stream layout. packed=True stores the sorted rank as a lane-packed
+# (P/128, 128) int32 array (4 B per point of DMA); False keeps the legacy
+# (P, 128) lane-broadcast layout (512 B per point — a second HBM stream as
+# large as the whole value stream, ~444 MB/frame write + read at flagship
+# scale) selectable for on-chip A/B. A (P, 1) column would be the obvious
+# layout but Mosaic requires DMA slices lane-aligned to 128.
+BEV_POOL_RANK_PACKED = True
 
 
 def _accum_stream(t, s0, s1, vals_hbm, rk_hbm, acc_ref, vals_buf, rk_buf,
@@ -99,12 +106,22 @@ def _accum_stream(t, s0, s1, vals_hbm, rk_hbm, acc_ref, vals_buf, rk_buf,
     Chunk DMAs start on CHUNK-aligned global offsets so the HBM slices stay
     tile-aligned; rows outside [s0, s1) are masked off (adjacent blocks may
     re-read a boundary chunk). Empty blocks (s1 == s0) issue no DMA at all.
+
+    Packed rank layout (BEV_POOL_RANK_PACKED): rk_hbm is (P/128, 128) int32
+    in natural row-major order, so one chunk's ranks are a (CHUNK/128, 128)
+    full-lane-width slice (Mosaic-legal DMA, 4 B per point instead of the
+    512 B/point lane-broadcast). The rank values then live in LANES while
+    the one-hot comparison needs them in SUBLANES; each 128-rank lane row
+    is transposed to a (128, 1) column with a K=1 MXU matmul against a
+    (1, 1) ones — exact, since ranks < 2**24 are integers in fp32 — and the
+    chunk's accumulation becomes CHUNK/128 one-hot matmuls of K=128.
     """
     base = (s0 // BEV_POOL_CHUNK) * BEV_POOL_CHUNK
     # s1 <= s0 (empty block) must yield 0 chunks even when s0 is not
     # CHUNK-aligned (the raw ceil would be 1 fully-masked chunk)
     n_chunks = jnp.where(
         s1 > s0, (s1 - base + BEV_POOL_CHUNK - 1) // BEV_POOL_CHUNK, 0)
+    sub = BEV_POOL_CHUNK // 128
 
     def start(i, slot):
         off = base + i * BEV_POOL_CHUNK
@@ -112,10 +129,11 @@ def _accum_stream(t, s0, s1, vals_hbm, rk_hbm, acc_ref, vals_buf, rk_buf,
             vals_hbm.at[pl.ds(off, BEV_POOL_CHUNK)], vals_buf.at[slot],
             sem_vals.at[slot],
         ).start()
-        pltpu.make_async_copy(
-            rk_hbm.at[pl.ds(off, BEV_POOL_CHUNK)], rk_buf.at[slot],
-            sem_rk.at[slot],
-        ).start()
+        if BEV_POOL_RANK_PACKED:
+            rk_src = rk_hbm.at[pl.ds(off // 128, sub)]
+        else:
+            rk_src = rk_hbm.at[pl.ds(off, BEV_POOL_CHUNK)]
+        pltpu.make_async_copy(rk_src, rk_buf.at[slot], sem_rk.at[slot]).start()
 
     @pl.when(n_chunks > 0)
     def _():
@@ -128,32 +146,58 @@ def _accum_stream(t, s0, s1, vals_hbm, rk_hbm, acc_ref, vals_buf, rk_buf,
             vals_hbm.at[pl.ds(off, BEV_POOL_CHUNK)], vals_buf.at[slot],
             sem_vals.at[slot],
         ).wait()
-        pltpu.make_async_copy(
-            rk_hbm.at[pl.ds(off, BEV_POOL_CHUNK)], rk_buf.at[slot],
-            sem_rk.at[slot],
-        ).wait()
+        if BEV_POOL_RANK_PACKED:
+            rk_src = rk_hbm.at[pl.ds(off // 128, sub)]
+        else:
+            rk_src = rk_hbm.at[pl.ds(off, BEV_POOL_CHUNK)]
+        pltpu.make_async_copy(rk_src, rk_buf.at[slot], sem_rk.at[slot]).wait()
 
         @pl.when(i + 1 < n_chunks)
         def _():
             start(i + 1, 1 - slot)
 
-        row = jax.lax.broadcasted_iota(
-            jnp.int32, (BEV_POOL_CHUNK, BEV_POOL_BLOCK_CELLS), 0)
-        col = jax.lax.broadcasted_iota(
-            jnp.int32, (BEV_POOL_CHUNK, BEV_POOL_BLOCK_CELLS), 1)
-        local = rk_buf[slot, :, :1] - t * BEV_POOL_BLOCK_CELLS
-        gid = row + off
-        valid = (gid >= s0) & (gid < s1)
         # one-hot is exactly representable in any float dtype; match the
         # matmul dtype to the value stream so fp32 callers keep exact
         # accumulation while bf16 callers get the 4x MXU rate
         mm_dtype = vals_buf.dtype
-        onehot = jnp.where((col == local) & valid, 1.0, 0.0).astype(mm_dtype)
-        acc_ref[:] += jax.lax.dot_general(
-            onehot, vals_buf[slot],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if BEV_POOL_RANK_PACKED:
+            rowi = jax.lax.broadcasted_iota(
+                jnp.int32, (128, BEV_POOL_BLOCK_CELLS), 0)
+            colf = jax.lax.broadcasted_iota(
+                jnp.int32, (128, BEV_POOL_BLOCK_CELLS), 1).astype(jnp.float32)
+            ones11 = jnp.ones((1, 1), jnp.float32)
+            tb = jax.lax.convert_element_type(
+                t * BEV_POOL_BLOCK_CELLS, jnp.float32)
+            for s in range(sub):
+                vlane = rk_buf[slot, s:s + 1, :].astype(jnp.float32)  # (1,128)
+                vcol = jax.lax.dot_general(  # MXU transpose -> (128, 1)
+                    vlane, ones11,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                gid = rowi + (off + s * 128)
+                valid = (gid >= s0) & (gid < s1)
+                onehot = jnp.where(
+                    (colf == vcol - tb) & valid, 1.0, 0.0).astype(mm_dtype)
+                acc_ref[:] += jax.lax.dot_general(
+                    onehot, vals_buf[slot, s * 128:(s + 1) * 128, :],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        else:
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (BEV_POOL_CHUNK, BEV_POOL_BLOCK_CELLS), 0)
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (BEV_POOL_CHUNK, BEV_POOL_BLOCK_CELLS), 1)
+            local = rk_buf[slot, :, :1] - t * BEV_POOL_BLOCK_CELLS
+            gid = row + off
+            valid = (gid >= s0) & (gid < s1)
+            onehot = jnp.where((col == local) & valid, 1.0, 0.0).astype(mm_dtype)
+            acc_ref[:] += jax.lax.dot_general(
+                onehot, vals_buf[slot],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         return _
 
     jax.lax.fori_loop(0, n_chunks, body, None)
@@ -188,17 +232,33 @@ def _bev_pool_block_kernel2(starts_ref, starts2_ref, vals_hbm, rk_hbm,
 
 def _pool_stream_prep(rk_sorted, vals_sorted, v_pad):
     """Pad a sorted stream's tail so chunk DMAs never run off the end (tail
-    ranks point at the sliced-off overflow region) and group the rank into
-    an int32 lane block; compute per-cell-block start offsets."""
+    ranks point at the sliced-off overflow region) and lay out the rank
+    stream (lane-packed (P/128, 128) by default, legacy (P, 128) broadcast
+    otherwise); compute per-cell-block start offsets.
+
+    The packed layout matters: the lane-broadcast layout materializes a
+    second HBM stream as large as the value stream itself (867k x 128 x
+    int32 = 444 MB/frame write + read at flagship scale), doubling the
+    kernel's DMA traffic; packed is 3.5 MB."""
     P, Cp = vals_sorted.shape
     pad = BEV_POOL_CHUNK
     vals_aug = jnp.concatenate(
         [vals_sorted, jnp.zeros((pad, Cp), vals_sorted.dtype)], axis=0
     )
-    rk_grp = jnp.concatenate(
+    rk_flat = jnp.concatenate(
         [rk_sorted.astype(jnp.int32), jnp.full((pad,), v_pad, jnp.int32)]
     )
-    rk_grp = jnp.broadcast_to(rk_grp[:, None], (P + pad, 128))
+    if BEV_POOL_RANK_PACKED:
+        # the in-kernel lane->sublane transpose is an fp32 MXU matmul, exact
+        # only for integer ranks below 2**24
+        assert v_pad < 2 ** 24, "packed rank layout needs ranks < 2**24"
+        rem = (-rk_flat.shape[0]) % 128
+        if rem:
+            rk_flat = jnp.concatenate(
+                [rk_flat, jnp.full((rem,), v_pad, jnp.int32)])
+        rk_grp = rk_flat.reshape(-1, 128)
+    else:
+        rk_grp = jnp.broadcast_to(rk_flat[:, None], (P + pad, 128))
     starts = jnp.searchsorted(
         rk_sorted,
         jnp.arange(0, v_pad + 1, BEV_POOL_BLOCK_CELLS, dtype=rk_sorted.dtype),
@@ -233,7 +293,9 @@ def _bev_pool_sorted_pallas(rk_sorted, vals_sorted, num_cells, out_dtype,
     scratch = [
         pltpu.VMEM((BEV_POOL_BLOCK_CELLS, Cp), jnp.float32),
         pltpu.VMEM((2, BEV_POOL_CHUNK, Cp), vals_sorted.dtype),
-        pltpu.VMEM((2, BEV_POOL_CHUNK, 128), jnp.int32),
+        pltpu.VMEM(
+            (2, BEV_POOL_CHUNK // 128, 128) if BEV_POOL_RANK_PACKED
+            else (2, BEV_POOL_CHUNK, 128), jnp.int32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
