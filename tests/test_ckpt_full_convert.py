@@ -157,10 +157,10 @@ def test_san_semantic_temporal_fusion_keys(tiny_model_variables):
     model = VeonModel(cfg=cfg2)
     imgs, depth_imgs, metas = example_batch_full(cfg2, B=1)
     ovw = jnp.zeros((3, cfg2.san.clip_embed_dim), jnp.float32)
-    variables = jax.jit(model.init, static_argnames=("train", "method"))(
-        jax.random.PRNGKey(0), imgs, depth_imgs, metas, ovw, train=False,
-        method=VeonModel.full_forward,
-    )
+    # structure/shape assertions only -> abstract init (no compile/run)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), imgs, depth_imgs, metas,
+                           ovw, train=False, method=VeonModel.full_forward))
     assert_same_structure(params["alignnet"], variables["params"]["alignnet"],
                           "alignnet[temporal]")
     assert_same_structure(stats["alignnet"],

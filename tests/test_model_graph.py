@@ -1,13 +1,14 @@
-"""End-to-end graph tests for VeonModel on the tiny test config (CPU)."""
+"""End-to-end graph tests for VeonModel on the tiny test config (CPU).
 
-import dataclasses
+The (cfg, model, params, inputs, outputs) tuples come from the session-
+scoped `tiny_graph` fixture (tests/conftest.py) — one init + apply compile
+per num_temporal, shared with test_precision."""
 
 import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
 
-from veon_tpu.configs import presets
 from veon_tpu.model.veon import VeonModel, fusion_rule
 from veon_tpu.nn import text as text_mod
 
@@ -47,32 +48,9 @@ def _metas(B, F, N, rng):
     return metas
 
 
-def _run_model(num_temporal):
-    cfg = presets.veon_tiny_test(num_temporal=num_temporal)
-    rng = np.random.default_rng(0)
-    B, F, N = 1, num_temporal, 6
-    H, W = cfg.data.input_size
-    imgs = jnp.asarray(rng.standard_normal((B, F, N, H, W, 3)).astype(np.float32))
-    depth = jnp.asarray(
-        rng.uniform(1.0, 40.0, size=(B, F, N, H // 2, W // 2)).astype(np.float32)
-    )
-    metas = _metas(B, F, N, rng)
-    prompts, refl = text_mod.build_vocabulary()
-    P = len(prompts)
-    ovw = jnp.asarray(rng.standard_normal((P + 1, cfg.san.clip_embed_dim)).astype(np.float32))
-
-    model = VeonModel(cfg=cfg)
-    params = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), imgs, depth, metas, ovw, train=False
-    )
-    out = jax.jit(model.apply, static_argnames=("train",))(
-        params, imgs, depth, metas, ovw, train=False
-    )
-    return cfg, refl, out
-
-
-def test_full_graph_single_frame():
-    cfg, refl, out = _run_model(num_temporal=1)
+def test_full_graph_single_frame(tiny_graph):
+    g = tiny_graph(1)
+    cfg, refl, out = g["cfg"], g["refl"], g["out"]
     nx, ny, nz = cfg.grid.size
     P = 66
     assert out["bin_occ"].shape == (1, nz, ny, nx, 2)
@@ -92,20 +70,22 @@ def test_full_graph_single_frame():
     assert int(pred.max()) <= 17 and int(pred.min()) >= 0
 
 
-def test_full_graph_temporal():
-    cfg, refl, out = _run_model(num_temporal=2)
+def test_full_graph_temporal(tiny_graph):
+    g = tiny_graph(2)
+    cfg, out = g["cfg"], g["out"]
     nx, ny, nz = cfg.grid.size
     assert out["bin_occ"].shape == (1, nz, ny, nx, 2)
     for v in out.values():
         assert not bool(jnp.isnan(v).any())
 
 
-def test_full_graph_temporal_t3():
+def test_full_graph_temporal_t3(tiny_graph):
     """num_temporal=3 (README.md:254-266 trains N_T up to 4): exercises the
     pairwise cat-conv chain in TemporalFusion (t_fuse_0 merges the two prev
     frames, t_fuse_1 merges with current — Middle3x3Seq semantics,
     align_net_occ3d.py:25-72) and the deformable stencil at F>2."""
-    cfg, refl, out = _run_model(num_temporal=3)
+    g = tiny_graph(3)
+    cfg, out = g["cfg"], g["out"]
     nx, ny, nz = cfg.grid.size
     assert out["bin_occ"].shape == (1, nz, ny, nx, 2)
     for v in out.values():
@@ -146,33 +126,17 @@ def test_veon_l_config_wiring_eval_shape(preset):
     assert out["clip_feat"].shape[-1] == 768
 
 
-def test_streaming_temporal_parity():
+def test_streaming_temporal_parity(tiny_graph):
     """Streaming serving (cache each frame's forward_early vox, reuse it as
     "previous" next step) must equal the batched temporal recompute path —
     same tensors by construction, so outputs match to fp tolerance. This is
     the TPU-first serving mode with steady-state cost ~ T1 + warp + fusion
     instead of the reference's full recompute (san_in_veon_temporal.py:
     158-173)."""
-    cfg = presets.veon_tiny_test(num_temporal=2)
-    rng = np.random.default_rng(0)
-    B, F, N = 1, 2, 6
-    H, W = cfg.data.input_size
-    imgs = jnp.asarray(rng.standard_normal((B, F, N, H, W, 3)).astype(np.float32))
-    depth = jnp.asarray(
-        rng.uniform(1.0, 40.0, size=(B, F, N, H // 2, W // 2)).astype(np.float32)
-    )
-    metas = _metas(B, F, N, rng)
-    prompts, refl = text_mod.build_vocabulary()
-    ovw = jnp.asarray(
-        rng.standard_normal((len(prompts) + 1, cfg.san.clip_embed_dim)).astype(np.float32))
-
-    model = VeonModel(cfg=cfg)
-    params = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), imgs, depth, metas, ovw, train=False
-    )
-    out_ref = jax.jit(model.apply, static_argnames=("train",))(
-        params, imgs, depth, metas, ovw, train=False
-    )
+    g = tiny_graph(2)
+    model, params = g["model"], g["params"]
+    imgs, depth, metas, ovw = g["imgs"], g["depth"], g["metas"], g["ovw"]
+    out_ref = g["out"]
 
     # streaming: frame 1 (the previous frame) goes through forward_early
     # with ITS OWN single-frame metas, gets cached, then the current frame

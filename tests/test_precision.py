@@ -9,43 +9,27 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from veon_tpu.configs import presets
 from veon_tpu.model.veon import VeonModel, fusion_rule
 from veon_tpu.nn import text as text_mod
 
-from tests.test_model_graph import _metas
 
-
-def _outputs(compute_dtype):
-    cfg = dataclasses.replace(presets.veon_tiny_test(),
-                              compute_dtype=compute_dtype)
-    rng = np.random.default_rng(11)
-    B, F, N = 1, 1, 6
-    H, W = cfg.data.input_size
-    imgs = jnp.asarray(rng.standard_normal((B, F, N, H, W, 3)).astype(np.float32))
-    depth = jnp.asarray(
-        rng.uniform(1.0, 40.0, size=(B, F, N, H // 2, W // 2)).astype(np.float32))
-    metas = _metas(B, F, N, rng)
-    prompts, refl = text_mod.build_vocabulary()
-    ovw = jnp.asarray(rng.standard_normal(
-        (len(prompts) + 1, cfg.san.clip_embed_dim)).astype(np.float32))
-    model = VeonModel(cfg=cfg)
-    # identical fp32 params for both precisions: init the fp32 graph
-    cfg32 = dataclasses.replace(cfg, compute_dtype="float32")
-    model32 = VeonModel(cfg=cfg32)
-    params = jax.jit(model32.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), imgs, depth, metas, ovw, train=False)
-    out = jax.jit(model.apply, static_argnames=("train",))(
-        params, imgs, depth, metas, ovw, train=False)
+def _pred(out, refl):
     m = text_mod.merge_matrix(refl)
     merged = text_mod.merge_classes_max(out["sem_occ_raw"], m, axis=-1)
-    pred = fusion_rule(merged, out["bin_occ"])
-    return out, np.asarray(pred)
+    return np.asarray(fusion_rule(merged, out["bin_occ"]))
 
 
-def test_bf16_full_graph_divergence_bounded():
-    out32, pred32 = _outputs("float32")
-    out16, pred16 = _outputs("bfloat16")
+def test_bf16_full_graph_divergence_bounded(tiny_graph):
+    # fp32 reference pass: the session-shared tiny graph (fp32 params + fp32
+    # compute); bf16 pass re-applies the SAME params/inputs with a bf16-
+    # compute model, so the only difference is compute precision
+    g = tiny_graph(1)
+    out32, pred32 = g["out"], _pred(g["out"], g["refl"])
+    cfg16 = dataclasses.replace(g["cfg"], compute_dtype="bfloat16")
+    model16 = VeonModel(cfg=cfg16)
+    out16 = jax.jit(model16.apply, static_argnames=("train",))(
+        g["params"], g["imgs"], g["depth"], g["metas"], g["ovw"], train=False)
+    pred16 = _pred(out16, g["refl"])
 
     # fusion-rule label flip rate: the eval-visible consequence of bf16
     flips = float((pred32 != pred16).mean())
