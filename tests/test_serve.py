@@ -110,3 +110,94 @@ def test_protocol_dtypes_roundtrip():
             np.testing.assert_array_equal(got, np.asarray(v))
     finally:
         srv.stop()
+
+
+def test_temporal_session_rolling_parity(tiny_graph):
+    """Server-side TemporalSession: feeding frames in time order (prev, then
+    current) must reproduce the batched full_forward exactly — i.e. the
+    cache rolling (early_vox -> prev slot, l2g bookkeeping) is faithful to
+    the recompute semantics, not just the single-call streaming method."""
+    from veon_tpu.serve import TemporalSession
+
+    g = tiny_graph(2)
+    model, params = g["model"], g["params"]
+    imgs, depth, metas = g["imgs"], g["depth"], g["metas"]
+
+    def frame_metas(f):
+        m = {k: v[:, f:f + 1] for k, v in metas.items()
+             if k in ("sensor2egos", "ego2globals", "intrins", "post_rots",
+                      "post_trans")}
+        m["bda"] = metas["bda"]
+        return m
+
+    sess = TemporalSession(model, params, g["ovw"], estimate_depth=False)
+    assert sess.calls == 0
+
+    # frame 1 = the OLDER frame; its pose is what full_forward sees as
+    # prev_lidarego2global[:, 0]
+    m1 = frame_metas(1)
+    m1["lidarego2global"] = metas["prev_lidarego2global"][:, 0]
+    sess.infer(imgs[:, 1:2], depth[:, 1:2], m1)
+
+    m0 = frame_metas(0)
+    m0["lidarego2global"] = metas["lidarego2global"]
+    out = sess.infer(imgs[:, 0:1], depth[:, 0:1], m0)
+    assert sess.calls == 2
+
+    out_ref = g["out"]  # batched recompute (frame 0 current, frame 1 prev)
+    for k in out_ref:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(out_ref[k]),
+            rtol=2e-4, atol=2e-5, err_msg=k)
+
+    # reset zeroes the cache: a fresh call must equal call #1's cold output
+    sess.reset()
+    assert sess.calls == 0
+    vox, l2g = sess.state()
+    assert not np.asarray(vox).any()
+    np.testing.assert_array_equal(np.asarray(l2g[0, 0]), np.eye(4))
+
+
+def test_cli_streaming_serve_end_to_end(tmp_path):
+    """`veon_tpu serve --num-temporal 2` wiring: the handler built by the
+    CLI holds a TemporalSession server-side; per-frame socket requests
+    (imgs + depth_imgs + lidarego2global) return fusion-rule classes, and a
+    `reset` request zeroes the temporal cache."""
+    import argparse
+
+    from veon_tpu.cli.main import _build_serve_handler
+    from veon_tpu.cli.shapes import example_batch_full
+    from veon_tpu.configs import presets
+
+    args = argparse.Namespace(
+        preset="veon_tiny_test", num_temporal=2, load_from=None,
+        depth_load_from=None, bpe_path=None)
+    handler, required, expect = _build_serve_handler(args)
+    assert required == ()
+
+    cfg = presets.veon_tiny_test(num_temporal=2)
+    imgs, depth_imgs, metas = example_batch_full(cfg, B=1)
+    nx, ny, nz = cfg.grid.size
+
+    sock = os.path.join(str(tmp_path), "veon_t2.sock")
+    srv = TensorServer(handler, sock, required=required)
+    srv.start()
+    try:
+        with TensorClient(sock) as c:
+            l2g = np.asarray(metas["lidarego2global"], np.float32)
+            for f in (1, 0):  # time order: older frame first
+                out = c.infer(imgs=np.asarray(imgs[:, f:f + 1]),
+                              depth_imgs=np.asarray(depth_imgs[:, f:f + 1]),
+                              lidarego2global=l2g)
+            pred = out["pred"]
+            assert pred.shape == (1, nx, ny, nz)
+            assert pred.min() >= 0 and pred.max() <= 17
+            r = c.infer(reset=np.int32(1))
+            assert int(r["ok"]) == 1
+            # still serving after reset
+            out = c.infer(imgs=np.asarray(imgs[:, 0:1]),
+                          depth_imgs=np.asarray(depth_imgs[:, 0:1]),
+                          lidarego2global=l2g)
+            assert out["pred"].shape == (1, nx, ny, nz)
+    finally:
+        srv.stop()

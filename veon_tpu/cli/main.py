@@ -679,39 +679,30 @@ def cmd_vis(args):
 
 
 def cmd_serve(args):
-    """Load-and-serve: bind the flagship inference graph (params + fixed rig
-    + classifier on device) and answer per-frame requests over a unix
-    socket (serve/server.py; python + C++ clients). The reference stops at
-    TRT engine creation — this is the consuming runtime.
+    """Load-and-serve: bind the inference graph (params + fixed rig +
+    classifier on device) and answer per-frame requests over a unix socket
+    (serve/server.py; python + C++ clients). The reference stops at TRT
+    engine creation — this is the consuming runtime.
 
-    Request tensors: imgs (B,F,N,H,W,3) clipsan-normalized,
-    depth_imgs (B,F,N,hd,wd,3) depth-normalized. Response: pred (B,X,Y,Z)
-    int32 fusion-rule classes + sem_occ_raw logits + server_ms.
+    Single-frame mode (num_temporal == 1): request tensors imgs
+    (B,1,N,H,W,3) clipsan-normalized + depth_imgs (B,1,N,hd,wd,3)
+    depth-normalized; response pred (B,X,Y,Z) int32 fusion-rule classes +
+    server_ms.
+
+    Streaming temporal mode (--num-temporal > 1): same request tensors (one
+    frame per request, time-ordered) plus lidarego2global (B,4,4); the
+    server holds the TemporalSession vox cache, so each request costs
+    ~T1 + warp + fusion instead of the reference's full prev-frame tower
+    recompute (NOTES.md: 188.5 vs 361.7 ms at T2). Extra request key
+    `reset` (any tensor) zeroes the cache at a scene cut.
     """
-    import jax
-    import jax.numpy as jnp
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))))
-    from __graft_entry__ import entry
-
     from ..serve.server import TensorServer
 
-    fn, (params, imgs, depth_imgs, metas, ovw) = entry()
-    jit_fn = jax.jit(fn)
-    print("warming (compiles the serving graph)...", flush=True)
-    jax.block_until_ready(jit_fn(params, imgs, depth_imgs, metas, ovw))
-
-    def handler(**req):
-        out = jit_fn(params, jnp.asarray(req["imgs"]),
-                     jnp.asarray(req["depth_imgs"]), metas, ovw)
-        return {"pred": np.asarray(out)}
-
+    handler, required, expect = _build_serve_handler(args)
     sock = args.socket
-    srv = TensorServer(handler, sock, required=("imgs", "depth_imgs"))
+    srv = TensorServer(handler, sock, required=required)
     srv.start()
-    print(f"serving on {sock} (expected imgs {tuple(imgs.shape)}, "
-          f"depth_imgs {tuple(depth_imgs.shape)}); ctrl-c to stop", flush=True)
+    print(f"serving on {sock} ({expect}); ctrl-c to stop", flush=True)
     try:
         import time as _t
 
@@ -719,6 +710,93 @@ def cmd_serve(args):
             _t.sleep(3600)
     except KeyboardInterrupt:
         srv.stop()
+
+
+def _build_serve_handler(args):
+    """(handler, required_request_keys, expectation string) for cmd_serve —
+    split out so tests can mount the handler on their own TensorServer."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..geometry.frustum import sensor2keyego_chain
+    from ..lift.lss import LSSLift
+    from ..model.veon import VeonModel, fusion_rule
+    from ..nn import text as text_mod
+    from ..cli.shapes import example_batch_full
+
+    cfg = _build_cfg(args)
+    model, variables, ovw, refl, _extras = _build_model_and_params(
+        cfg, san_ckpt=args.load_from, depth_ckpt=args.depth_load_from,
+        bpe_path=getattr(args, "bpe_path", None),
+    )
+    membership = text_mod.merge_matrix(refl)
+    imgs, depth_imgs, metas = example_batch_full(cfg, B=1)
+    F, N = cfg.num_temporal, cfg.data.num_cams
+
+    # serving is fixed-rig: precompute the lift's rank sort once
+    # (accelerate mode, view_transformer_raw.py:196-215)
+    s2k = sensor2keyego_chain(
+        metas["sensor2egos"].reshape(1, -1, 4, 4),
+        metas["ego2globals"].reshape(1, -1, 4, 4), F, N)
+    lift = LSSLift(grid=cfg.grid, input_size=cfg.data.input_size,
+                   downsample=cfg.lss_downsample,
+                   out_channels=cfg.propagation.dim, ds_feat=cfg.lss_feat_ds)
+    metas = dict(metas)
+    metas["lift_sorted"] = lift.precompute_sorted(
+        s2k[:, 0], metas["intrins"][:, 0], metas["post_rots"][:, 0],
+        metas["post_trans"][:, 0], metas["bda"])
+
+    if cfg.num_temporal > 1:
+        from ..serve.streaming import TemporalSession
+
+        rig = {k: metas[k][:, 0:1] for k in
+               ("sensor2egos", "ego2globals", "intrins", "post_rots",
+                "post_trans")}
+        rig["bda"] = metas["bda"]
+        rig["lift_sorted"] = metas["lift_sorted"]
+        session = TemporalSession(model, variables, ovw,
+                                  membership=membership, rig_metas=rig)
+        imgs1, depth1 = imgs[:, 0:1], depth_imgs[:, 0:1]
+        print("warming (compiles the streaming serving graph)...", flush=True)
+        jax.block_until_ready(session.infer(
+            imgs1, depth1,
+            {"lidarego2global": metas["lidarego2global"]})["pred"])
+        session.reset()
+
+        def handler(**req):
+            if "reset" in req:
+                session.reset()
+                return {"ok": np.int32(1)}
+            out = session.infer(
+                jnp.asarray(req["imgs"]), jnp.asarray(req["depth_imgs"]),
+                {"lidarego2global": jnp.asarray(req["lidarego2global"])})
+            return {"pred": np.asarray(out["pred"])}
+
+        required = ()  # reset frames carry no imgs; handler validates
+        expect = (f"expected per-frame imgs {tuple(imgs1.shape)}, depth_imgs "
+                  f"{tuple(depth1.shape)}, lidarego2global (1, 4, 4)")
+    else:
+        @jax.jit
+        def jit_fn(variables, imgs, depth_imgs, metas, ovw):
+            out = model.apply(variables, imgs, depth_imgs, metas, ovw,
+                              train=False, method=VeonModel.full_forward)
+            merged = text_mod.merge_classes_max(out["sem_occ_raw"],
+                                                membership, axis=-1)
+            return fusion_rule(merged, out["bin_occ"])
+
+        print("warming (compiles the serving graph)...", flush=True)
+        jax.block_until_ready(jit_fn(variables, imgs, depth_imgs, metas, ovw))
+
+        def handler(**req):
+            out = jit_fn(variables, jnp.asarray(req["imgs"]),
+                         jnp.asarray(req["depth_imgs"]), metas, ovw)
+            return {"pred": np.asarray(out)}
+
+        required = ("imgs", "depth_imgs")
+        expect = (f"expected imgs {tuple(imgs.shape)}, depth_imgs "
+                  f"{tuple(depth_imgs.shape)}")
+
+    return handler, required, expect
 
 
 def cmd_export(args):

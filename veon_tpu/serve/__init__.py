@@ -1,4 +1,6 @@
 from .client import TensorClient
 from .server import TensorServer, serve_exported
+from .streaming import TemporalSession
 
-__all__ = ["TensorClient", "TensorServer", "serve_exported"]
+__all__ = ["TensorClient", "TensorServer", "serve_exported",
+           "TemporalSession"]

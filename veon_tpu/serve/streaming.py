@@ -1,0 +1,119 @@
+"""Stateful streaming temporal serving session.
+
+The reference's temporal inference re-runs every previous frame's full
+tower stack per call (`san_in_veon_temporal.py:158-173` forward_early on
+each adjacent frame) — O(F) tower cost per frame. A TPU-first *server*
+doesn't need to: each frame's pre-fusion lifted voxel features
+(`forward_early`) come back with its own inference call, so the session
+caches them and replays them as "previous frames" for the next call.
+Steady-state cost = single-frame cost + (F-1) x (warp + temporal fusion):
+measured on chip 188.5 ms (T2) / 197.1 ms (T3) vs 361.7 / 516.9 recompute
+(NOTES.md round-3).
+
+Parity with the recompute path is by construction (same tensors):
+`tests/test_model_graph.py::test_streaming_temporal_parity` and the
+session-level rolling test in `tests/test_serve.py`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+class TemporalSession:
+    """Holds the last (num_temporal - 1) frames' early voxel features and
+    ego poses; `infer` runs the streaming forward and rolls the cache.
+
+    Frames must arrive newest-last (i.e. call order = time order); the
+    cache is zero-seeded, so the first (num_temporal - 1) outputs fuse
+    against zero prev-frames (the same cold-start the zeros-seeded on-chip
+    bench uses) — steady state begins at call num_temporal.
+    """
+
+    def __init__(self, model, variables, ovw, membership=None,
+                 rig_metas: Optional[Dict[str, Any]] = None, jit=True,
+                 estimate_depth=True):
+        import jax
+        import jax.numpy as jnp
+
+        from ..model.veon import VeonModel, fusion_rule
+        from ..nn import text as text_mod
+
+        cfg = model.cfg
+        if cfg.num_temporal < 2:
+            raise ValueError("TemporalSession needs cfg.num_temporal >= 2")
+        self.model = model
+        self.variables = variables
+        self.ovw = ovw
+        self.rig_metas = dict(rig_metas or {})
+        nx, ny, nz = cfg.grid.size
+        dz, dh, dw = cfg.lss_feat_ds
+        T = cfg.num_temporal - 1
+        cdtype = jnp.dtype(cfg.compute_dtype)
+        self._vox = jnp.zeros(
+            (1, T, nz // dz, ny // dh, nx // dw, cfg.propagation.dim), cdtype)
+        self._l2g = jnp.broadcast_to(
+            jnp.eye(4, dtype=jnp.float32), (1, T, 4, 4))
+        self.calls = 0
+
+        # estimate_depth=False is the cached-depth serving regime: the
+        # second argument is the metric depth itself, not depth-tower images
+        method = (VeonModel.full_forward_streaming if estimate_depth
+                  else VeonModel.forward_streaming)
+
+        def fn(variables, imgs, depth_imgs, metas, ovw, prev_vox, prev_l2g):
+            out = model.apply(variables, imgs, depth_imgs, metas, ovw,
+                              prev_vox, prev_l2g, train=False, method=method)
+            if membership is not None:
+                merged = text_mod.merge_classes_max(
+                    out["sem_occ_raw"], membership, axis=-1)
+                out = dict(out, pred=fusion_rule(merged, out["bin_occ"]))
+            return out
+
+        self._fn = jax.jit(fn) if jit else fn
+
+    def infer(self, imgs, depth_imgs, metas) -> Dict[str, Any]:
+        """One temporal step. imgs (B,1,N,H,W,3) / depth_imgs single-frame;
+        metas: this frame's single-frame rig metas + `lidarego2global`
+        (B,4,4). Rig keys absent from `metas` fall back to the session's
+        fixed-rig `rig_metas` (incl. the presorted lift)."""
+        import jax.numpy as jnp
+
+        m = dict(self.rig_metas)
+        m.update(metas)
+        out = dict(self._fn(self.variables, imgs, depth_imgs, m, self.ovw,
+                            self._vox, self._l2g))
+        early = out.pop("early_vox")
+        l2g = jnp.asarray(m["lidarego2global"], jnp.float32)
+        # newest first (frame t-1 at slot 0), matching full_forward's
+        # prev-frame ordering
+        self._vox = jnp.concatenate(
+            [early[:, None].astype(self._vox.dtype), self._vox[:, :-1]],
+            axis=1)
+        self._l2g = jnp.concatenate([l2g[:, None], self._l2g[:, :-1]], axis=1)
+        self.calls += 1
+        return out
+
+    def reset(self) -> None:
+        """Zero the cache (scene cut / new sequence)."""
+        import jax.numpy as jnp
+
+        self._vox = jnp.zeros_like(self._vox)
+        self._l2g = jnp.broadcast_to(
+            jnp.eye(4, dtype=jnp.float32), self._l2g.shape)
+        self.calls = 0
+
+    def state(self):
+        """(prev_vox, prev_lidarego2global) — exposed for checkpoint/debug."""
+        return self._vox, self._l2g
+
+    def load_state(self, vox, l2g) -> None:
+        import jax.numpy as jnp
+
+        if tuple(vox.shape) != tuple(self._vox.shape):
+            raise ValueError(
+                f"vox shape {tuple(vox.shape)} != {tuple(self._vox.shape)}")
+        self._vox = jnp.asarray(vox, self._vox.dtype)
+        self._l2g = jnp.asarray(np.asarray(l2g), jnp.float32)
