@@ -175,3 +175,37 @@ def test_streaming_temporal_parity(tiny_graph):
     )(params, imgs[:, 0:1], depth[:, 0:1], frame_metas(0))
     np.testing.assert_allclose(np.asarray(out_stream["early_vox"]),
                                np.asarray(vox_cur), rtol=2e-4, atol=2e-5)
+
+
+def test_full_graph_temporal_t4_wiring_eval_shape():
+    """num_temporal=4 (the reference's maximum, README.md:254-266): abstract-
+    trace init + apply at tiny dims — the pairwise cat-conv chain grows to
+    t_fuse_0..2 and the stencil-deformable runs over 3 prev frames. T3 runs
+    concretely (test_full_graph_temporal_t3 / the T3 train-step test); T4
+    checks the wiring contract without another ~35 s compile."""
+    from veon_tpu.configs import presets
+
+    cfg = presets.veon_tiny_test(num_temporal=4)
+    rng = np.random.default_rng(0)
+    B, F, N = 1, 4, 6
+    H, W = cfg.data.input_size
+    imgs = jnp.zeros((B, F, N, H, W, 3), jnp.float32)
+    depth = jnp.ones((B, F, N, H // 2, W // 2), jnp.float32)
+    metas = _metas(B, F, N, rng)
+    from veon_tpu.nn import text as text_mod
+
+    prompts, _ = text_mod.build_vocabulary()
+    ovw = jnp.zeros((len(prompts) + 1, cfg.san.clip_embed_dim), jnp.float32)
+    model = VeonModel(cfg=cfg)
+    var_shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), imgs, depth, metas, ovw,
+                           train=False))
+    # 3 prev frames -> t_fuse_0..1 pairwise merges + final fuse conv exist
+    tf = var_shapes["params"]["alignnet"]["temporal_fusion"]
+    assert any(k.startswith("t_fuse") for k in tf), list(tf)
+    out = jax.eval_shape(
+        lambda v: model.apply(v, imgs, depth, metas, ovw, train=False),
+        var_shapes)
+    nx, ny, nz = cfg.grid.size
+    assert out["bin_occ"].shape == (1, nz, ny, nx, 2)
+    assert out["sem_occ_raw"].shape[-1] == len(prompts) + 1
