@@ -141,7 +141,9 @@ def test_temporal_session_rolling_parity(tiny_graph):
 
     m0 = frame_metas(0)
     m0["lidarego2global"] = metas["lidarego2global"]
-    out = sess.infer(imgs[:, 0:1], depth[:, 0:1], m0)
+    te = np.random.default_rng(7).standard_normal(
+        g["out"]["feat_occ"].shape[-1]).astype(np.float32)
+    out = sess.infer(imgs[:, 0:1], depth[:, 0:1], m0, text_embed=te)
     assert sess.calls == 2
 
     out_ref = g["out"]  # batched recompute (frame 0 current, frame 1 prev)
@@ -149,6 +151,14 @@ def test_temporal_session_rolling_parity(tiny_graph):
         np.testing.assert_allclose(
             np.asarray(out[k]), np.asarray(out_ref[k]),
             rtol=2e-4, atol=2e-5, err_msg=k)
+
+    # the in-graph retrieval map == the eval-side cosine convention applied
+    # to the recompute path's voxel features
+    from veon_tpu.model.veon import retrieval_map
+
+    want = np.asarray(retrieval_map(out_ref["feat_occ"], jnp.asarray(te)))
+    np.testing.assert_allclose(np.asarray(out["retrieval"]), want,
+                               rtol=2e-4, atol=2e-4)
 
     # reset zeroes the cache: a fresh call must equal call #1's cold output
     sess.reset()
@@ -192,12 +202,28 @@ def test_cli_streaming_serve_end_to_end(tmp_path):
             pred = out["pred"]
             assert pred.shape == (1, nx, ny, nz)
             assert pred.min() >= 0 and pred.max() <= 17
+            assert "retrieval" not in out  # no text in the request
             r = c.infer(reset=np.int32(1))
             assert int(r["ok"]) == 1
-            # still serving after reset
+            # still serving after reset; free-text retrieval via a prompt
+            # embedding and via server-side tokenized text
+            te = np.random.default_rng(3).standard_normal(
+                cfg.propagation.clip_proj_dim).astype(np.float32)
             out = c.infer(imgs=np.asarray(imgs[:, 0:1]),
                           depth_imgs=np.asarray(depth_imgs[:, 0:1]),
-                          lidarego2global=l2g)
+                          lidarego2global=l2g, text_embed=te)
             assert out["pred"].shape == (1, nx, ny, nz)
+            assert out["retrieval"].shape == (1, nx, ny, nz)
+            assert np.isfinite(out["retrieval"]).all()
+            assert np.abs(out["retrieval"]).max() <= 1.0 + 1e-5  # cosine
+            from veon_tpu.nn.text import ClipTokenizer
+
+            tok = ClipTokenizer(None).tokenize(["a parked red car"])
+            out2 = c.infer(imgs=np.asarray(imgs[:, 0:1]),
+                           depth_imgs=np.asarray(depth_imgs[:, 0:1]),
+                           lidarego2global=l2g,
+                           text_tokens=np.asarray(tok, np.int32))
+            assert out2["retrieval"].shape == (1, nx, ny, nz)
+            assert np.isfinite(out2["retrieval"]).all()
     finally:
         srv.stop()

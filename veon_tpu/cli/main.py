@@ -720,16 +720,48 @@ def _build_serve_handler(args):
 
     from ..geometry.frustum import sensor2keyego_chain
     from ..lift.lss import LSSLift
-    from ..model.veon import VeonModel, fusion_rule
+    from ..model.veon import VeonModel, fusion_rule, retrieval_map
     from ..nn import text as text_mod
     from ..cli.shapes import example_batch_full
 
     cfg = _build_cfg(args)
-    model, variables, ovw, refl, _extras = _build_model_and_params(
+    model, variables, ovw, refl, extras = _build_model_and_params(
         cfg, san_ckpt=args.load_from, depth_ckpt=args.depth_load_from,
         bpe_path=getattr(args, "bpe_path", None),
     )
     membership = text_mod.merge_matrix(refl)
+    zero_embed = jnp.zeros((cfg.propagation.clip_proj_dim,), jnp.float32)
+
+    # free-text retrieval over the socket: requests may carry a prompt
+    # embedding directly (text_embed (C,)) or CLIP-BPE token ids
+    # (text_tokens (1, 77) int32) encoded server-side by the checkpoint's
+    # text tower (random-init tower without a checkpoint — smoke mode)
+    from ..nn.vit import CLIPTextEncoder
+
+    if "text_tower" in extras:
+        prompts, _ = text_mod.build_vocabulary(cfg.vocabulary)
+        _, enc, text_params = _text_classifier(
+            cfg, prompts, extras, getattr(args, "bpe_path", None))
+    else:
+        enc = CLIPTextEncoder(
+            width=cfg.san.text_width, heads=cfg.san.text_heads,
+            num_layers=cfg.san.text_layers, out_dim=cfg.san.clip_embed_dim,
+            vocab_size=cfg.san.text_vocab_size,
+            context_length=cfg.san.text_context_length,
+        )
+        text_params = jax.jit(enc.init)(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, cfg.san.text_context_length), jnp.int32))
+    enc_apply = jax.jit(enc.apply)
+
+    def request_embed(req):
+        if "text_embed" in req:
+            return jnp.asarray(req["text_embed"], jnp.float32), True
+        if "text_tokens" in req:
+            return enc_apply(
+                text_params,
+                jnp.asarray(req["text_tokens"], jnp.int32))[0], True
+        return zero_embed, False
     imgs, depth_imgs, metas = example_batch_full(cfg, B=1)
     F, N = cfg.num_temporal, cfg.data.num_cams
 
@@ -767,34 +799,49 @@ def _build_serve_handler(args):
             if "reset" in req:
                 session.reset()
                 return {"ok": np.int32(1)}
+            te, want_retr = request_embed(req)
             out = session.infer(
                 jnp.asarray(req["imgs"]), jnp.asarray(req["depth_imgs"]),
-                {"lidarego2global": jnp.asarray(req["lidarego2global"])})
-            return {"pred": np.asarray(out["pred"])}
+                {"lidarego2global": jnp.asarray(req["lidarego2global"])},
+                text_embed=te)
+            resp = {"pred": np.asarray(out["pred"])}
+            if want_retr:
+                resp["retrieval"] = np.asarray(out["retrieval"])
+            return resp
 
         required = ()  # reset frames carry no imgs; handler validates
         expect = (f"expected per-frame imgs {tuple(imgs1.shape)}, depth_imgs "
-                  f"{tuple(depth1.shape)}, lidarego2global (1, 4, 4)")
+                  f"{tuple(depth1.shape)}, lidarego2global (1, 4, 4); optional "
+                  f"text_embed/text_tokens for retrieval")
     else:
         @jax.jit
-        def jit_fn(variables, imgs, depth_imgs, metas, ovw):
+        def jit_fn(variables, imgs, depth_imgs, metas, ovw, text_embed):
             out = model.apply(variables, imgs, depth_imgs, metas, ovw,
                               train=False, method=VeonModel.full_forward)
             merged = text_mod.merge_classes_max(out["sem_occ_raw"],
                                                 membership, axis=-1)
-            return fusion_rule(merged, out["bin_occ"])
+            # retrieval rides inside the jit: the cosine fuses with the feat
+            # head, so serving it costs no extra feat_occ materialization
+            return (fusion_rule(merged, out["bin_occ"]),
+                    retrieval_map(out["feat_occ"], text_embed))
 
         print("warming (compiles the serving graph)...", flush=True)
-        jax.block_until_ready(jit_fn(variables, imgs, depth_imgs, metas, ovw))
+        jax.block_until_ready(jit_fn(variables, imgs, depth_imgs, metas, ovw,
+                                     zero_embed))
 
         def handler(**req):
-            out = jit_fn(variables, jnp.asarray(req["imgs"]),
-                         jnp.asarray(req["depth_imgs"]), metas, ovw)
-            return {"pred": np.asarray(out)}
+            te, want_retr = request_embed(req)
+            pred, retr = jit_fn(variables, jnp.asarray(req["imgs"]),
+                                jnp.asarray(req["depth_imgs"]), metas, ovw, te)
+            resp = {"pred": np.asarray(pred)}
+            if want_retr:
+                resp["retrieval"] = np.asarray(retr)
+            return resp
 
         required = ("imgs", "depth_imgs")
         expect = (f"expected imgs {tuple(imgs.shape)}, depth_imgs "
-                  f"{tuple(depth_imgs.shape)}")
+                  f"{tuple(depth_imgs.shape)}; optional text_embed/"
+                  f"text_tokens for retrieval")
 
     return handler, required, expect
 

@@ -407,6 +407,23 @@ class VeonModel(nn.Module):
         return grid_sample_3d(occ_feat, grid, align_corners=True, padding_mode="zeros")
 
 
+def retrieval_map(feat_occ: jnp.ndarray, text_embed: jnp.ndarray,
+                  eps: float = 1e-8) -> jnp.ndarray:
+    """Per-voxel cosine vs a free-text prompt embedding
+    (`compute_single_retrieval`, veon_temporal.py:331-356; same eps-guarded
+    cosine as eval/retrieval.retrieval_scores, computed over the whole grid).
+
+    feat_occ: (B, Z, Y, X, C) CLIP-space voxel features;
+    text_embed: (C,). Returns (B, X, Y, Z) float32 scores.
+    """
+    q = text_embed.reshape(-1).astype(jnp.float32)
+    f = feat_occ.astype(jnp.float32)
+    denom = jnp.maximum(
+        jnp.linalg.norm(f, axis=-1) * jnp.linalg.norm(q), eps)
+    cos = jnp.einsum("bzyxc,c->bzyx", f, q) / denom
+    return cos.transpose(0, 3, 2, 1)
+
+
 def fusion_rule(sem_occ_merged: jnp.ndarray, bin_occ: jnp.ndarray, free_idx: int = 17):
     """Test-time class fusion (`veon_temporal.py:220-229`).
 

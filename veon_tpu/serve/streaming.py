@@ -38,7 +38,7 @@ class TemporalSession:
         import jax
         import jax.numpy as jnp
 
-        from ..model.veon import VeonModel, fusion_rule
+        from ..model.veon import VeonModel, fusion_rule, retrieval_map
         from ..nn import text as text_mod
 
         cfg = model.cfg
@@ -63,28 +63,39 @@ class TemporalSession:
         method = (VeonModel.full_forward_streaming if estimate_depth
                   else VeonModel.forward_streaming)
 
-        def fn(variables, imgs, depth_imgs, metas, ovw, prev_vox, prev_l2g):
+        def fn(variables, imgs, depth_imgs, metas, ovw, prev_vox, prev_l2g,
+               text_embed):
             out = model.apply(variables, imgs, depth_imgs, metas, ovw,
                               prev_vox, prev_l2g, train=False, method=method)
             if membership is not None:
                 merged = text_mod.merge_classes_max(
                     out["sem_occ_raw"], membership, axis=-1)
                 out = dict(out, pred=fusion_rule(merged, out["bin_occ"]))
+            # free-text retrieval rides along inside the jit (fused with the
+            # feat head — no extra feat_occ materialization); a zero
+            # embedding yields an all-zero map via the eps guard
+            out = dict(out, retrieval=retrieval_map(out["feat_occ"],
+                                                    text_embed))
             return out
 
+        self._zero_embed = jnp.zeros((cfg.propagation.clip_proj_dim,),
+                                     jnp.float32)
         self._fn = jax.jit(fn) if jit else fn
 
-    def infer(self, imgs, depth_imgs, metas) -> Dict[str, Any]:
+    def infer(self, imgs, depth_imgs, metas, text_embed=None) -> Dict[str, Any]:
         """One temporal step. imgs (B,1,N,H,W,3) / depth_imgs single-frame;
         metas: this frame's single-frame rig metas + `lidarego2global`
         (B,4,4). Rig keys absent from `metas` fall back to the session's
-        fixed-rig `rig_metas` (incl. the presorted lift)."""
+        fixed-rig `rig_metas` (incl. the presorted lift). text_embed (C,)
+        adds a free-text `retrieval` cosine map to the outputs."""
         import jax.numpy as jnp
 
         m = dict(self.rig_metas)
         m.update(metas)
+        te = self._zero_embed if text_embed is None else jnp.asarray(
+            text_embed, jnp.float32)
         out = dict(self._fn(self.variables, imgs, depth_imgs, m, self.ovw,
-                            self._vox, self._l2g))
+                            self._vox, self._l2g, te))
         early = out.pop("early_vox")
         l2g = jnp.asarray(m["lidarego2global"], jnp.float32)
         # newest first (frame t-1 at slot 0), matching full_forward's
