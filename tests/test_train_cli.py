@@ -217,3 +217,46 @@ def test_weights_dir_resolution(tmp_path):
     with pytest.raises(FileNotFoundError) as e:
         _resolve_weights_dir(str(tmp_path), "veon_b_zoe")
     assert "zoedepth_pretrain.pth" in str(e.value)
+
+
+def test_zoe_depth_pretrain_step():
+    """veon-pretrain-zoedepth.py counterpart: one stage-1 step on the tiny
+    ZoeDepth-NK tower. Reference freeze rule (veon_depth_pretrain.py:82-88:
+    'pretrain' in name and 'lora' not in name -> frozen): BEiT trunk frozen
+    except LoRA; the MiDaS scratch decoder and metric-bins head train."""
+    from veon_tpu.nn.zoedepth import ZoeDepthNK
+    from veon_tpu.train.depth_pretrain import (make_depth_pretrain_step,
+                                               zoe_trainable)
+    from veon_tpu.train.step import create_train_state
+    from tests.test_zoedepth import _tiny_zoe
+
+    grid = GridConfig()
+    model = ZoeDepthNK(cfg=_tiny_zoe())
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((1, 1, 2, 64, 96, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(1, 40, size=(1, 2, 64, 96)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs[0, 0])
+    labels = trainable_mask(variables["params"], zoe_trainable)
+    tx = make_optimizer(labels=labels)
+    state = create_train_state(model, variables, tx, init_updates=0)
+    step = make_depth_pretrain_step(model, tx, grid, LossConfig())
+    old = jax.tree_util.tree_map(jnp.copy, state.params)
+    state, losses = step(state, {"depth_imgs": imgs, "gt_depth": gt})
+    losses = jax.device_get(losses)
+    assert np.isfinite(float(losses["loss_total"])), losses
+    # BEiT trunk base weights frozen, its LoRA adapters move
+    qkv_old = old["core"]["pretrained"]["blocks_0"]["attn"]["qkv"]
+    qkv_new = state.params["core"]["pretrained"]["blocks_0"]["attn"]["qkv"]
+    np.testing.assert_array_equal(np.asarray(qkv_old["base"]["kernel"]),
+                                  np.asarray(qkv_new["base"]["kernel"]))
+    assert float(jnp.abs(qkv_old["lora_B"] - qkv_new["lora_B"]).max()) > 0
+    # bins head + scratch decoder train
+    sb_old = old["seed_bin_regressor"]["fc1"]["kernel"]
+    sb_new = state.params["seed_bin_regressor"]["fc1"]["kernel"]
+    assert float(jnp.abs(sb_old - sb_new).max()) > 0
+    rn_old = old["core"]["refinenet1"]
+    rn_new = state.params["core"]["refinenet1"]
+    import optax as _optax
+
+    diff = jax.tree_util.tree_map(lambda a, b: a - b, rn_old, rn_new)
+    assert float(_optax.global_norm(diff)) > 0

@@ -420,7 +420,9 @@ def cmd_pretrain_depth(args):
     from ..data.loader import DataLoader
     from ..data.nuscenes import NuScenesOccDataset, load_infos
     from ..nn.dpt import DepthAnythingV2
-    from ..train.depth_pretrain import (depth_trainable, make_depth_pretrain_step)
+    from ..train.depth_pretrain import (depth_trainable,
+                                        make_depth_pretrain_step,
+                                        zoe_trainable)
     from ..train.step import create_train_state, make_optimizer, trainable_mask
     from ..train.loop import _to_device
     from ..ckpt.io import save_checkpoint
@@ -433,22 +435,34 @@ def cmd_pretrain_depth(args):
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, depth_input_size=cfg.data.input_size)
     )
-    model = DepthAnythingV2(cfg=cfg.depth)
     H, W = cfg.data.input_size
     cpu = jax.devices("cpu")[0]
-    from ..data.transforms import dav2_size
+    from ..ckpt import convert as C
 
-    dh, dw = dav2_size(H, W)
+    if cfg.depth_mode == "zoedepth":
+        # veon-pretrain-zoedepth.py counterpart: LoRA in the BEiT trunk +
+        # the whole MiDaS scratch / bins head train (zoe_trainable)
+        from ..nn.zoedepth import ZoeDepthNK
+
+        model = ZoeDepthNK(cfg=cfg.zoe)
+        dh, dw = H, W  # midasNormalize does no resize
+        trainable = zoe_trainable
+        convert = lambda sd: C.convert_zoedepth(sd, cfg.zoe)  # noqa: E731
+    else:
+        from ..data.transforms import dav2_size
+
+        model = DepthAnythingV2(cfg=cfg.depth)
+        dh, dw = dav2_size(H, W)
+        trainable = depth_trainable
+        convert = lambda sd: C.convert_dav2(sd, cfg.depth)  # noqa: E731
     with jax.default_device(cpu):
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, dh, dw, 3)))
     if args.depth_load_from:
-        from ..ckpt import convert as C
-
         sd = C.load_torch_state_dict(args.depth_load_from)
-        variables = {"params": C.convert_dav2(sd, cfg.depth)}
+        variables = {"params": convert(sd)}
     variables = jax.device_put(variables, jax.devices()[0])
 
-    labels = trainable_mask(variables["params"], depth_trainable)
+    labels = trainable_mask(variables["params"], trainable)
     tx = make_optimizer(lr=args.lr, labels=labels)
     state = create_train_state(model, variables, tx, init_updates=0)
     step = make_depth_pretrain_step(model, tx, cfg.grid, cfg.loss)

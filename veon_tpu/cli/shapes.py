@@ -86,14 +86,21 @@ def example_batch(cfg: VeonConfig, B: int = 1):
 
 def example_batch_full(cfg: VeonConfig, B: int = 1):
     """(imgs, depth_imgs, metas) for the full pipeline incl. the depth tower.
-    depth_imgs carry the DA-V2 lower-bound multiple-of-14 resolution."""
+    depth_imgs carry the DA-V2 lower-bound multiple-of-14 resolution for the
+    dav2 branch; midasNormalize does no resize (loading.py:1037-1045), so
+    the zoe branch keeps cfg.data.depth_input_size (same as the dataset,
+    data/nuscenes.py:142-143)."""
     import jax.numpy as jnp
 
     from ..data.transforms import dav2_size
 
     imgs, _depth, metas = example_batch(cfg, B)
     F, N = cfg.num_temporal, cfg.data.num_cams
-    dh, dw = dav2_size(*cfg.data.depth_input_size, target=cfg.data.dav2_target)
+    if cfg.data.depth_norm_method == "depthanythingv2":
+        dh, dw = dav2_size(*cfg.data.depth_input_size,
+                           target=cfg.data.dav2_target)
+    else:
+        dh, dw = cfg.data.depth_input_size
     rng = np.random.default_rng(3)
     depth_imgs = jnp.asarray(
         rng.standard_normal((B, F, N, dh, dw, 3)).astype(np.float32)

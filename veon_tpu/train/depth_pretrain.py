@@ -28,6 +28,17 @@ def depth_trainable(path: Tuple[str, ...]) -> bool:
     return path[-1] in ("lora_A", "lora_B")
 
 
+def zoe_trainable(path: Tuple[str, ...]) -> bool:
+    """ZoeDepth-NK stage-1 rule (the reference freezes params whose name has
+    'pretrain' but not 'lora', `veon_depth_pretrain.py:82-88`): the BEiT
+    trunk (under core/pretrained) is frozen except its LoRA adapters; the
+    MiDaS scratch decoder, readout projections, and the metric-bins head
+    all train."""
+    if path[-1] in ("lora_A", "lora_B"):
+        return True
+    return "pretrained" not in path
+
+
 def make_depth_pretrain_step(model: DepthAnythingV2, tx, grid: GridConfig,
                              cfg: LossConfig, pred_downsample: int = 8,
                              gt_downsample: int = 16):
