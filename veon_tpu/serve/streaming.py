@@ -29,7 +29,9 @@ class TemporalSession:
     Frames must arrive newest-last (i.e. call order = time order); the
     cache is zero-seeded, so the first (num_temporal - 1) outputs fuse
     against zero prev-frames (the same cold-start the zeros-seeded on-chip
-    bench uses) — steady state begins at call num_temporal.
+    bench uses) — steady state begins at call num_temporal. Sessions are
+    B=1 (one ego vehicle per session; B=2 batching measured slower than two
+    sequential calls on v5e, NOTES.md round-2).
     """
 
     def __init__(self, model, variables, ovw, membership=None,
