@@ -79,7 +79,7 @@ def test_cpp_client_roundtrip(served, tmp_path):
     y = np.load(tmp_path / "resp_y.npy")
     np.testing.assert_allclose(y, np.tanh(x @ w) + b, rtol=1e-5, atol=1e-6)
     ms = np.load(tmp_path / "resp_server_ms.npy")
-    assert float(ms) >= 0.0
+    assert float(np.asarray(ms).reshape(-1)[0]) >= 0.0
 
 
 def test_protocol_dtypes_roundtrip():
@@ -204,7 +204,7 @@ def test_cli_streaming_serve_end_to_end(tmp_path):
             assert pred.min() >= 0 and pred.max() <= 17
             assert "retrieval" not in out  # no text in the request
             r = c.infer(reset=np.int32(1))
-            assert int(r["ok"]) == 1
+            assert int(np.asarray(r["ok"]).reshape(-1)[0]) == 1
             # still serving after reset; free-text retrieval via a prompt
             # embedding and via server-side tokenized text
             te = np.random.default_rng(3).standard_normal(

@@ -260,3 +260,34 @@ def test_zoe_depth_pretrain_step():
 
     diff = jax.tree_util.tree_map(lambda a, b: a - b, rn_old, rn_new)
     assert float(_optax.global_norm(diff)) > 0
+
+
+def test_make_optimizer_grad_accumulation():
+    """--accum-steps (optax.MultiSteps): mid-accumulation micro-steps leave
+    params untouched; the k-th applies the update of the AVERAGED gradient
+    (== a single step on the mean grad); frozen labels stay frozen
+    throughout. Grows effective batch beyond the B=1-per-chip HBM limit —
+    an axis the reference lacks (it scales batch only by adding GPUs)."""
+    import optax
+
+    params = {"a": jnp.ones((3,)), "b": jnp.ones((3,))}
+    labels = {"a": "train", "b": "frozen"}
+    tx = make_optimizer(lr=0.1, labels=labels, accum_steps=2)
+    state = tx.init(params)
+    g1 = {"a": jnp.full((3,), 1.0), "b": jnp.full((3,), 1.0)}
+    g2 = {"a": jnp.full((3,), 3.0), "b": jnp.full((3,), 3.0)}
+    up1, state = tx.update(g1, state, params)
+    p1 = optax.apply_updates(params, up1)
+    np.testing.assert_array_equal(np.asarray(p1["a"]), np.asarray(params["a"]))
+    up2, state = tx.update(g2, state, p1)
+    p2 = optax.apply_updates(p1, up2)
+    assert float(jnp.abs(p2["a"] - 1.0).max()) > 0
+    np.testing.assert_array_equal(np.asarray(p2["b"]), np.ones(3))
+
+    tx1 = make_optimizer(lr=0.1, labels=labels)
+    s1 = tx1.init(params)
+    gm = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g1, g2)
+    upm, _ = tx1.update(gm, s1, params)
+    pm = optax.apply_updates(params, upm)
+    np.testing.assert_allclose(np.asarray(p2["a"]), np.asarray(pm["a"]),
+                               rtol=1e-6)

@@ -190,7 +190,8 @@ def cmd_train(args):
                         shard=(rank, count) if count > 1 else None)
 
     labels = trainable_mask(variables["params"], stage2_trainable)
-    tx = make_optimizer(lr=args.lr, labels=labels)
+    tx = make_optimizer(lr=args.lr, labels=labels,
+                        accum_steps=getattr(args, "accum_steps", 1))
     state = create_train_state(model, variables, tx)
     start_epoch = 0
     if args.auto_resume:
@@ -463,7 +464,8 @@ def cmd_pretrain_depth(args):
     variables = jax.device_put(variables, jax.devices()[0])
 
     labels = trainable_mask(variables["params"], trainable)
-    tx = make_optimizer(lr=args.lr, labels=labels)
+    tx = make_optimizer(lr=args.lr, labels=labels,
+                        accum_steps=getattr(args, "accum_steps", 1))
     state = create_train_state(model, variables, tx, init_updates=0)
     step = make_depth_pretrain_step(model, tx, cfg.grid, cfg.loss)
 
@@ -882,6 +884,8 @@ def main(argv=None):
         p.add_argument("--work-dir", default="work_dir")
         p.add_argument("--batch-size", type=int, default=1)
         p.add_argument("--workers", type=int, default=2)
+        p.add_argument("--accum-steps", type=int, default=1,
+                       help="gradient accumulation micro-steps per optimizer update (effective batch = batch-size x devices x this)")
         p.add_argument("--lr", type=float, default=1e-4)
         p.add_argument("--epochs", type=int, default=24)
         p.add_argument("--load-from", default=None, help="SAN/VEON semantic .pth")

@@ -75,9 +75,17 @@ def make_optimizer(
     warmup_ratio: float = 1e-3,
     max_norm: float = 5.0,
     labels=None,
+    accum_steps: int = 1,
 ):
     """AdamW(lr 1e-4, wd 1e-2) + global-norm clip 5 + linear warmup
-    (configs/veon/...py:244-251)."""
+    (configs/veon/...py:244-251).
+
+    accum_steps > 1 wraps the chain in optax.MultiSteps (gradient
+    accumulation): the HBM-bound per-chip batch stays 1 (NOTES.md: B=2
+    OOMs) while the effective batch grows k-fold — an axis the reference
+    lacks (it scales batch only by adding GPUs). Grads are averaged over
+    the k micro-steps, clip/warmup apply to the averaged update.
+    """
     schedule = optax.join_schedules(
         [
             optax.linear_schedule(lr * warmup_ratio, lr, warmup_iters),
@@ -89,11 +97,13 @@ def make_optimizer(
         optax.clip_by_global_norm(max_norm),
         optax.adamw(schedule, weight_decay=weight_decay),
     )
-    if labels is None:
-        return inner
-    return optax.multi_transform(
-        {"train": inner, "frozen": optax.set_to_zero()}, labels
-    )
+    if labels is not None:
+        inner = optax.multi_transform(
+            {"train": inner, "frozen": optax.set_to_zero()}, labels
+        )
+    if accum_steps > 1:
+        inner = optax.MultiSteps(inner, every_k_schedule=accum_steps)
+    return inner
 
 
 def ema_decay(updates: jnp.ndarray, decay: float = 0.999) -> jnp.ndarray:
