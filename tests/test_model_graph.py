@@ -200,9 +200,11 @@ def test_full_graph_temporal_t4_wiring_eval_shape():
     var_shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), imgs, depth, metas, ovw,
                            train=False))
-    # 3 prev frames -> t_fuse_0..1 pairwise merges + final fuse conv exist
+    # 3 prev frames -> pairwise merges t_fuse_0..1 + final fuse t_fuse_2
+    # (exactly; a num_temporal=2 model only has t_fuse_0)
     tf = var_shapes["params"]["alignnet"]["temporal_fusion"]
-    assert any(k.startswith("t_fuse") for k in tf), list(tf)
+    got = {k for k in tf if k.startswith("t_fuse")}
+    assert got == {"t_fuse_0", "t_fuse_1", "t_fuse_2"}, sorted(tf)
     out = jax.eval_shape(
         lambda v: model.apply(v, imgs, depth, metas, ovw, train=False),
         var_shapes)

@@ -182,15 +182,16 @@ def test_cli_streaming_serve_end_to_end(tmp_path):
     args = argparse.Namespace(
         preset="veon_tiny_test", num_temporal=2, load_from=None,
         depth_load_from=None, bpe_path=None)
-    handler, required, expect = _build_serve_handler(args)
+    handler, required, expect, exclusive = _build_serve_handler(args)
     assert required == ()
+    assert exclusive  # stateful temporal session: one connection at a time
 
     cfg = presets.veon_tiny_test(num_temporal=2)
     imgs, depth_imgs, metas = example_batch_full(cfg, B=1)
     nx, ny, nz = cfg.grid.size
 
     sock = os.path.join(str(tmp_path), "veon_t2.sock")
-    srv = TensorServer(handler, sock, required=required)
+    srv = TensorServer(handler, sock, required=required, exclusive=True)
     srv.start()
     try:
         with TensorClient(sock) as c:
@@ -225,5 +226,40 @@ def test_cli_streaming_serve_end_to_end(tmp_path):
                            text_tokens=np.asarray(tok, np.int32))
             assert out2["retrieval"].shape == (1, nx, ny, nz)
             assert np.isfinite(out2["retrieval"]).all()
+    finally:
+        srv.stop()
+
+
+def test_exclusive_server_rejects_second_connection(tmp_path):
+    """exclusive=True (stateful temporal sessions): a second concurrent
+    connection is refused with an error frame instead of silently
+    interleaving into the first stream's rolling cache."""
+    sock = os.path.join(str(tmp_path), "x.sock")
+    srv = TensorServer(lambda **kw: kw, sock, exclusive=True)
+    srv.start()
+    try:
+        with TensorClient(sock) as c1:
+            c1.infer(a=np.float32(1.0))
+            with TensorClient(sock) as c2:
+                # the rejection surfaces as the server's busy error frame,
+                # or as a broken pipe if the close lands before our send
+                with pytest.raises((RuntimeError, OSError)) as ei:
+                    c2.infer(a=np.float32(2.0))
+                if isinstance(ei.value, RuntimeError):
+                    assert "busy" in str(ei.value)
+            out = c1.infer(a=np.float32(3.0))  # first client still served
+            assert float(np.asarray(out["a"]).reshape(-1)[0]) == 3.0
+        # after the first client disconnects, a new one is admitted (the
+        # server notices the close on its next recv — retry briefly)
+        import time as _time
+
+        for attempt in range(50):
+            try:
+                with TensorClient(sock) as c3:
+                    got = c3.infer(a=np.float32(4.0))["a"]
+                break
+            except (RuntimeError, OSError):
+                _time.sleep(0.05)
+        assert float(np.asarray(got).reshape(-1)[0]) == 4.0
     finally:
         srv.stop()

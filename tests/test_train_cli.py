@@ -291,3 +291,37 @@ def test_make_optimizer_grad_accumulation():
     pm = optax.apply_updates(params, upm)
     np.testing.assert_allclose(np.asarray(p2["a"]), np.asarray(pm["a"]),
                                rtol=1e-6)
+
+
+def test_ema_gating_under_accumulation():
+    """EMA advances per OPTIMIZER update, not per micro-step: with
+    accum_steps=k the MEGVII ramp/horizon would otherwise be divided by k
+    and the EMA would get k-1 extra pulls toward frozen params."""
+    import optax
+
+    from veon_tpu.train.step import ema_decay, ema_step_fields
+
+    tx = make_optimizer(lr=0.1, accum_steps=2)
+    params = {"a": jnp.ones(2)}
+    st = tx.init(params)
+
+    class S:
+        ema_updates = jnp.asarray(5.0)
+
+    _, st1 = tx.update({"a": jnp.ones(2)}, st, params)
+    d, upd = ema_step_fields(S, st1)  # mid-accumulation micro-step
+    assert float(d) == 1.0 and float(upd) == 5.0
+    _, st2 = tx.update({"a": jnp.ones(2)}, st1, params)
+    d2, upd2 = ema_step_fields(S, st2)  # averaged update applied
+    assert float(upd2) == 6.0
+    np.testing.assert_allclose(float(d2), float(ema_decay(jnp.asarray(6.0))),
+                               rtol=1e-5)
+
+    # plain chain (no MultiSteps): every step counts, as before
+    tx0 = make_optimizer(lr=0.1)
+    st0 = tx0.init(params)
+    _, st0 = tx0.update({"a": jnp.ones(2)}, st0, params)
+    d0, upd0 = ema_step_fields(S, st0)
+    assert float(upd0) == 6.0
+    np.testing.assert_allclose(float(d0), float(ema_decay(jnp.asarray(6.0))),
+                               rtol=1e-5)

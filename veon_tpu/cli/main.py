@@ -459,8 +459,13 @@ def cmd_pretrain_depth(args):
     with jax.default_device(cpu):
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, dh, dw, 3)))
     if args.depth_load_from:
+        # merge over the init tree, never replace it: published release
+        # dumps carry no lora_A/lora_B keys, and stage-1 exists to TRAIN
+        # those freshly-initialized adapters (a wholesale replace would
+        # drop them and crash the first forward)
         sd = C.load_torch_state_dict(args.depth_load_from)
-        variables = {"params": convert(sd)}
+        variables = {"params": C.merge_params(variables["params"],
+                                              convert(sd))}
     variables = jax.device_put(variables, jax.devices()[0])
 
     labels = trainable_mask(variables["params"], trainable)
@@ -714,9 +719,10 @@ def cmd_serve(args):
     """
     from ..serve.server import TensorServer
 
-    handler, required, expect = _build_serve_handler(args)
+    handler, required, expect, exclusive = _build_serve_handler(args)
     sock = args.socket
-    srv = TensorServer(handler, sock, required=required)
+    srv = TensorServer(handler, sock, required=required,
+                       exclusive=exclusive)
     srv.start()
     print(f"serving on {sock} ({expect}); ctrl-c to stop", flush=True)
     try:
@@ -754,17 +760,19 @@ def _build_serve_handler(args):
     # text tower (random-init tower without a checkpoint — smoke mode)
     from ..nn.vit import CLIPTextEncoder
 
+    enc = CLIPTextEncoder(
+        width=cfg.san.text_width, heads=cfg.san.text_heads,
+        num_layers=cfg.san.text_layers, out_dim=cfg.san.clip_embed_dim,
+        vocab_size=cfg.san.text_vocab_size,
+        context_length=cfg.san.text_context_length,
+    )
     if "text_tower" in extras:
-        prompts, _ = text_mod.build_vocabulary(cfg.vocabulary)
-        _, enc, text_params = _text_classifier(
-            cfg, prompts, extras, getattr(args, "bpe_path", None))
+        # the checkpoint's tower weights directly — _build_model_and_params
+        # already ran the full vocabulary/template encode for ovw; don't
+        # repeat it just to get enc/text_params
+        text_params = {"params": jax.tree_util.tree_map(
+            jnp.asarray, extras["text_tower"])}
     else:
-        enc = CLIPTextEncoder(
-            width=cfg.san.text_width, heads=cfg.san.text_heads,
-            num_layers=cfg.san.text_layers, out_dim=cfg.san.clip_embed_dim,
-            vocab_size=cfg.san.text_vocab_size,
-            context_length=cfg.san.text_context_length,
-        )
         text_params = jax.jit(enc.init)(
             jax.random.PRNGKey(1),
             jnp.zeros((1, cfg.san.text_context_length), jnp.int32))
@@ -815,6 +823,11 @@ def _build_serve_handler(args):
             if "reset" in req:
                 session.reset()
                 return {"ok": np.int32(1)}
+            missing = [k for k in ("imgs", "depth_imgs", "lidarego2global")
+                       if k not in req]
+            if missing:
+                raise KeyError(f"missing tensors: {missing} "
+                               "(or send a `reset` frame)")
             te, want_retr = request_embed(req)
             out = session.infer(
                 jnp.asarray(req["imgs"]), jnp.asarray(req["depth_imgs"]),
@@ -859,7 +872,7 @@ def _build_serve_handler(args):
                   f"{tuple(depth_imgs.shape)}; optional text_embed/"
                   f"text_tokens for retrieval")
 
-    return handler, required, expect
+    return handler, required, expect, cfg.num_temporal > 1
 
 
 def cmd_export(args):

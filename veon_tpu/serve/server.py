@@ -32,11 +32,17 @@ class TensorServer:
     """
 
     def __init__(self, fn: Callable[..., Dict[str, Any]], socket_path: str,
-                 required: Sequence[str] = ()):
+                 required: Sequence[str] = (), exclusive: bool = False):
+        """exclusive=True admits ONE connection at a time (later connects
+        get an error frame and are closed) — required when fn is STATEFUL
+        per-stream, e.g. the temporal serving session whose rolling voxel
+        cache a second interleaved client would silently corrupt."""
         self.fn = fn
         self.socket_path = socket_path
         self.required = tuple(required)
+        self.exclusive = exclusive
         self._lock = threading.Lock()
+        self._active = 0
         self._stop = threading.Event()
         self._threads = []
         self._sock: Optional[socket.socket] = None
@@ -64,29 +70,45 @@ class TensorServer:
 
     def _serve_conn(self, conn: socket.socket) -> None:
         with conn:
-            while not self._stop.is_set():
-                try:
-                    status, tensors = recv_frame(conn)
-                except (ConnectionError, OSError):
-                    return
-                try:
-                    missing = [k for k in self.required if k not in tensors]
-                    if status != 0:
-                        raise ValueError(f"request status {status}")
-                    if missing:
-                        raise KeyError(f"missing tensors: {missing}")
-                    with self._lock:  # one in-flight compute at a time
-                        t0 = time.perf_counter()
-                        out = self.fn(**tensors)
-                        out = {k: np.asarray(v) for k, v in out.items()}
-                        out["server_ms"] = np.float32(
-                            (time.perf_counter() - t0) * 1e3)
-                    send_frame(conn, out)
-                except Exception as e:  # report, keep serving
+            with self._lock:
+                if self.exclusive and self._active > 0:
                     try:
-                        error_frame(conn, f"{type(e).__name__}: {e}")
+                        error_frame(conn, "server busy: exclusive session "
+                                          "mode admits one connection")
                     except OSError:
-                        return
+                        pass
+                    return
+                self._active += 1
+            try:
+                self._conn_loop(conn)
+            finally:
+                with self._lock:
+                    self._active -= 1
+
+    def _conn_loop(self, conn: socket.socket) -> None:
+        while not self._stop.is_set():
+            try:
+                status, tensors = recv_frame(conn)
+            except (ConnectionError, OSError):
+                return
+            try:
+                missing = [k for k in self.required if k not in tensors]
+                if status != 0:
+                    raise ValueError(f"request status {status}")
+                if missing:
+                    raise KeyError(f"missing tensors: {missing}")
+                with self._lock:  # one in-flight compute at a time
+                    t0 = time.perf_counter()
+                    out = self.fn(**tensors)
+                    out = {k: np.asarray(v) for k, v in out.items()}
+                    out["server_ms"] = np.float32(
+                        (time.perf_counter() - t0) * 1e3)
+                send_frame(conn, out)
+            except Exception as e:  # report, keep serving
+                try:
+                    error_frame(conn, f"{type(e).__name__}: {e}")
+                except OSError:
+                    return
 
     def stop(self) -> None:
         self._stop.set()

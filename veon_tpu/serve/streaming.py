@@ -128,5 +128,8 @@ class TemporalSession:
         if tuple(vox.shape) != tuple(self._vox.shape):
             raise ValueError(
                 f"vox shape {tuple(vox.shape)} != {tuple(self._vox.shape)}")
+        if tuple(np.shape(l2g)) != tuple(self._l2g.shape):
+            raise ValueError(
+                f"l2g shape {tuple(np.shape(l2g))} != {tuple(self._l2g.shape)}")
         self._vox = jnp.asarray(vox, self._vox.dtype)
         self._l2g = jnp.asarray(np.asarray(l2g), jnp.float32)

@@ -18,7 +18,8 @@ from ..configs.base import GridConfig, LossConfig, VeonConfig
 from ..lift.lss import min_pool_depth
 from ..nn.dpt import DepthAnythingV2
 from .losses import depth_pretrain_loss
-from .step import TrainState, ema_decay, ema_update, make_optimizer, trainable_mask
+from .step import (TrainState, ema_step_fields, ema_update, make_optimizer,
+                   trainable_mask)
 
 
 def depth_trainable(path: Tuple[str, ...]) -> bool:
@@ -71,11 +72,11 @@ def make_depth_pretrain_step(model: DepthAnythingV2, tx, grid: GridConfig,
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        d = ema_decay(state.ema_updates + 1.0)
+        d, ema_upd = ema_step_fields(state, new_opt)
         state = state.replace(
             params=new_params, opt_state=new_opt,
             ema_params=ema_update(state.ema_params, new_params, d),
-            step=state.step + 1, ema_updates=state.ema_updates + 1.0,
+            step=state.step + 1, ema_updates=ema_upd,
         )
         losses["loss_total"] = total
         return state, losses

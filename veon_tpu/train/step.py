@@ -115,6 +115,23 @@ def ema_update(ema_tree, new_tree, d):
     return jax.tree_util.tree_map(lambda e, p: e * d + (1.0 - d) * p, ema_tree, new_tree)
 
 
+def ema_step_fields(state, new_opt_state):
+    """(effective_decay, new_ema_updates) for one step() call, gated on the
+    optimizer having APPLIED a real update: under optax.MultiSteps (gradient
+    accumulation) the mid-accumulation micro-steps leave params untouched,
+    and the MEGVII ramp/horizon must count optimizer updates, not
+    micro-steps — otherwise accum_steps=k silently divides the EMA horizon
+    by k. mini_step == 0 right after MultiSteps applies the averaged update;
+    plain chains have no mini_step and always count."""
+    ms = getattr(new_opt_state, "mini_step", None)
+    applied = (jnp.float32(1.0) if ms is None
+               else (ms == 0).astype(jnp.float32))
+    upd = state.ema_updates + applied
+    d = ema_decay(upd)
+    # applied=0 -> decay 1.0 (EMA and ramp untouched); applied=1 -> ramp decay
+    return 1.0 - applied * (1.0 - d), upd
+
+
 def create_train_state(
     model: VeonModel, variables, tx, init_updates: int = 10560
 ) -> TrainState:
@@ -185,7 +202,7 @@ def make_train_step(
             total = jax.lax.pmean(total, axis)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        d = ema_decay(state.ema_updates + 1.0)
+        d, ema_upd = ema_step_fields(state, new_opt)
         state = state.replace(
             params=new_params,
             batch_stats=new_stats,
@@ -193,7 +210,7 @@ def make_train_step(
             ema_params=ema_update(state.ema_params, new_params, d),
             ema_batch_stats=ema_update(state.ema_batch_stats, new_stats, d),
             step=state.step + 1,
-            ema_updates=state.ema_updates + 1.0,
+            ema_updates=ema_upd,
         )
         losses["loss_total"] = total
         return state, losses
