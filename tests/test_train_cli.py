@@ -1,6 +1,7 @@
 """Train-step, EMA, depth-pretrain and CLI smoke tests (tiny config, CPU)."""
 
 import dataclasses
+import os
 
 import numpy as np
 import jax
@@ -325,3 +326,71 @@ def test_ema_gating_under_accumulation():
     assert float(upd0) == 6.0
     np.testing.assert_allclose(float(d0), float(ema_decay(jnp.asarray(6.0))),
                                rtol=1e-5)
+
+
+def test_depth_pretrain_step_with_accumulation():
+    """accum_steps=2 through the REAL jitted step (TrainState + MultiSteps
+    opt_state + donate): micro-step 1 leaves params and the EMA counter
+    untouched; micro-step 2 applies the averaged update and ticks the EMA
+    exactly once."""
+    from veon_tpu.train.step import create_train_state
+
+    grid = GridConfig()
+    dcfg = DepthConfig(encoder="vits", features=8, out_channels=(4, 8, 8, 8),
+                       lora_r=2)
+    model = DepthAnythingV2(cfg=dcfg)
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.standard_normal((1, 1, 2, 28, 42, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(1, 40, size=(1, 2, 32, 48)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs[0, 0])
+    labels = trainable_mask(variables["params"], depth_trainable)
+    tx = make_optimizer(labels=labels, accum_steps=2)
+    state = create_train_state(model, variables, tx, init_updates=0)
+    step = make_depth_pretrain_step(model, tx, grid, LossConfig())
+    p0 = jax.tree_util.tree_map(jnp.copy, state.params)
+    ema0 = jax.tree_util.tree_map(jnp.copy, state.ema_params)
+    state, _ = step(state, {"depth_imgs": imgs, "gt_depth": gt})
+    # mid-accumulation: nothing moved, EMA untouched, counter not advanced
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(ema0),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(state.ema_updates) == 0.0
+    state, losses = step(state, {"depth_imgs": imgs, "gt_depth": gt})
+    assert np.isfinite(float(losses["loss_total"]))
+    assert float(state.ema_updates) == 1.0
+    moved = any(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(state.params)))
+    assert moved
+
+
+def test_pretrain_depth_cli_end_to_end(tmp_path, monkeypatch):
+    """Stage-1 (`tools/dist_train.sh configs/veon/veon-pretrain-*.py`)
+    through the CLI on the mini nuScenes fixture: dataset -> LiDAR depth GT
+    -> jitted LoRA pretrain step -> checkpoint in work_dir."""
+    from tests.test_data_pipeline import _make_fixture
+
+    from veon_tpu.ckpt.io import find_latest
+    from veon_tpu.cli.main import main
+    from veon_tpu.configs import presets
+
+    root = str(tmp_path)
+    pkl = _make_fixture(root)
+
+    def veon_tiny_fixture(num_temporal=1):
+        cfg = presets.veon_tiny_test(num_temporal=num_temporal)
+        return dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, src_size=(90, 160)))
+
+    monkeypatch.setattr(presets, "veon_tiny_fixture", veon_tiny_fixture,
+                        raising=False)
+    work = os.path.join(root, "work_pretrain")
+    main(["pretrain-depth", "--preset", "veon_tiny_fixture",
+          "--data-root", root, "--ann", pkl, "--workers", "1",
+          "--epochs", "1", "--work-dir", work])
+    latest = find_latest(work)
+    assert latest is not None, os.listdir(work)

@@ -155,7 +155,12 @@ def veon_tiny_test(num_temporal: int = 1) -> VeonConfig:
             num_temporal=num_temporal,
         ),
         depth=DepthConfig(encoder="vits", features=16, out_channels=(8, 16, 16, 16)),
-        data=dataclasses.replace(VeonConfig().data, input_size=(64, 176), depth_input_size=(32, 88)),
+        # dav2_target=28: without it the tiny preset inherits the production
+        # 252 lower-bound target, so dav2_size(32, 88) -> (252, 700) and
+        # every tiny full-pipeline test runs the depth tower at PRODUCTION
+        # token count (901/cam) — the single largest test wall-time sink
+        data=dataclasses.replace(VeonConfig().data, input_size=(64, 176),
+                                 depth_input_size=(32, 88), dav2_target=28),
         occ_size=(20, 20, 4),
         lss_feat_ds=(2, 2, 2),
         lss_out_channels=16,
