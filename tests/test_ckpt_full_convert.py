@@ -248,3 +248,34 @@ def test_zoedepth_full_dress_rehearsal(lora):
         jax.tree_util.tree_map(jnp.asarray, merged),
         jnp.zeros((1, 32, 32, 3), jnp.float32))
     assert np.isfinite(np.asarray(d)).all()
+
+
+def test_build_model_and_params_routes_zoe_depth_ckpt(tmp_path):
+    """CLI model builder: --depth-load-from with a ZOE preset must convert
+    through convert_zoedepth (zoedepth_nk_v1.py layout), not convert_dav2 —
+    cache-depth / test / serve on the zoe branch all load this way."""
+    import os
+
+    import torch
+
+    from tests.test_zoedepth import _tiny_zoe
+
+    from ref_layout_mirror import make_zoedepth_sd
+    from veon_tpu.cli.main import _build_model_and_params
+
+    cfg = presets.veon_tiny_test()
+    cfg = dataclasses.replace(cfg, depth_mode="zoedepth", zoe=_tiny_zoe())
+    sd = make_zoedepth_sd(cfg.zoe, lora_r=cfg.zoe.lora_r)
+    # load_torch_state_dict keeps only tensor-like values
+    sd = {k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()}
+    path = os.path.join(str(tmp_path), "zoe.pth")
+    torch.save(sd, path)
+    model, variables, _, _, _ = _build_model_and_params(cfg, depth_ckpt=path)
+    # converted trunk landed under depth/ with the model's structure
+    assert "core" in variables["params"]["depth"]
+    assert "pretrained" in variables["params"]["depth"]["core"]
+    out = model.apply(
+        variables,
+        jnp.zeros((1, 1, 2, 64, 96, 3), jnp.float32),
+        method=type(model).estimate_depth)
+    assert np.isfinite(np.asarray(out)).all()

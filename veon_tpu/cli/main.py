@@ -140,8 +140,14 @@ def _build_model_and_params(cfg, ckpt=None, san_ckpt=None, depth_ckpt=None,
         from ..ckpt import convert as C
 
         sd = C.load_torch_state_dict(depth_ckpt)
+        # route on the preset's depth branch: zoe presets carry ZoeDepth-NK
+        # dumps (zoedepth_nk_v1.py layout), not DA-V2 ones
+        if cfg.depth_mode == "zoedepth":
+            depth_tree = C.convert_zoedepth(sd, cfg.zoe)
+        else:
+            depth_tree = C.convert_dav2(sd, cfg.depth)
         variables["params"] = C.merge_params(
-            variables["params"], {"depth": C.convert_dav2(sd, cfg.depth)})
+            variables["params"], {"depth": depth_tree})
     import jax
 
     # local_devices, not devices: after jax.distributed.initialize the
