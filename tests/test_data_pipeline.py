@@ -267,3 +267,18 @@ def test_load_cached_depth_torch_interop(tmp_path):
     base_t = str(tmp_path / "tok2-CAM_FRONT")
     torch.save(torch.from_numpy(d), base_t + ".tensor")
     np.testing.assert_allclose(_load_cached_depth(base_t), d, rtol=0)
+
+
+def test_normalize_in_graph_matches_host_normalizers():
+    """In-graph (jnp) normalizers must be bit-compatible with the host
+    (numpy) ones — the uint8 serving mode relies on it."""
+    import jax.numpy as jnp
+
+    from veon_tpu.data import transforms as T
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, size=(2, 8, 10, 3)).astype(np.uint8)
+    for m in ("clipsan", "mmlab", "midas", "depthanythingv2"):
+        want = T.NORMALIZERS[m](u8)
+        got = np.asarray(T.normalize_in_graph(jnp.asarray(u8), m))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6, err_msg=m)

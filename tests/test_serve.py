@@ -167,6 +167,23 @@ def test_temporal_session_rolling_parity(tiny_graph):
     assert not np.asarray(vox).any()
     np.testing.assert_array_equal(np.asarray(l2g[0, 0]), np.eye(4))
 
+    # uint8 serving contract (--raw-uint8): a normalize=("clipsan", ...)
+    # session fed raw uint8 frames == this session fed host-normalized
+    # floats (reuses `sess`, freshly reset, as the float reference)
+    from veon_tpu.data import transforms as T
+
+    rng = np.random.default_rng(9)
+    u8 = rng.integers(0, 256, size=imgs[:, 0:1].shape).astype(np.uint8)
+    f32 = jnp.asarray(T.normalize_clipsan(u8))
+    s_u8 = TemporalSession(model, params, g["ovw"], estimate_depth=False,
+                           normalize=("clipsan", "depthanythingv2"))
+    out_u8 = s_u8.infer(jnp.asarray(u8), depth[:, 0:1], m0)
+    out_f32 = sess.infer(f32, depth[:, 0:1], m0)
+    for k in out_f32:
+        np.testing.assert_allclose(
+            np.asarray(out_u8[k]), np.asarray(out_f32[k]),
+            rtol=2e-5, atol=2e-6, err_msg=k)
+
 
 def test_cli_streaming_serve_end_to_end(tmp_path):
     """`veon_tpu serve --num-temporal 2` wiring: the handler built by the

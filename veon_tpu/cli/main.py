@@ -795,6 +795,18 @@ def _build_serve_handler(args):
     imgs, depth_imgs, metas = example_batch_full(cfg, B=1)
     F, N = cfg.num_temporal, cfg.data.num_cams
 
+    # --raw-uint8: clients send raw uint8 HWC RGB frames (4x less transport
+    # — 16 MB instead of 65 MB per 6-camera frame) and the normalizers run
+    # in-graph (data/transforms.normalize_in_graph, fused by XLA)
+    raw_u8 = bool(getattr(args, "raw_uint8", False))
+    norm_pair = ("clipsan", cfg.data.depth_norm_method) if raw_u8 else None
+    if raw_u8:
+        from ..data.transforms import normalize_in_graph
+
+        # warm with mid-gray uint8 frames of the same shapes
+        imgs = jnp.full(imgs.shape, 127, jnp.uint8)
+        depth_imgs = jnp.full(depth_imgs.shape, 127, jnp.uint8)
+
     # serving is fixed-rig: precompute the lift's rank sort once
     # (accelerate mode, view_transformer_raw.py:196-215)
     s2k = sensor2keyego_chain(
@@ -817,7 +829,8 @@ def _build_serve_handler(args):
         rig["bda"] = metas["bda"]
         rig["lift_sorted"] = metas["lift_sorted"]
         session = TemporalSession(model, variables, ovw,
-                                  membership=membership, rig_metas=rig)
+                                  membership=membership, rig_metas=rig,
+                                  normalize=norm_pair)
         imgs1, depth1 = imgs[:, 0:1], depth_imgs[:, 0:1]
         print("warming (compiles the streaming serving graph)...", flush=True)
         jax.block_until_ready(session.infer(
@@ -851,6 +864,9 @@ def _build_serve_handler(args):
     else:
         @jax.jit
         def jit_fn(variables, imgs, depth_imgs, metas, ovw, text_embed):
+            if norm_pair is not None:
+                imgs = normalize_in_graph(imgs, norm_pair[0])
+                depth_imgs = normalize_in_graph(depth_imgs, norm_pair[1])
             out = model.apply(variables, imgs, depth_imgs, metas, ovw,
                               train=False, method=VeonModel.full_forward)
             merged = text_mod.merge_classes_max(out["sem_occ_raw"],
@@ -937,6 +953,9 @@ def main(argv=None):
                        help="epoch at which previous frames engage (SequentialControlHook)")
         p.add_argument("--socket", default="/tmp/veon_serve.sock",
                        help="serve: unix socket path")
+        p.add_argument("--raw-uint8", action="store_true",
+                       help="serve: accept raw uint8 RGB frames and "
+                            "normalize in-graph (4x less request transport)")
         p.add_argument("--weights-dir", default=None,
                        help="selftest: reference-README ckpts/ layout dir — "
                             "runs the weights-arrival drill (convert + load "

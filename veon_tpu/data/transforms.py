@@ -70,6 +70,25 @@ NORMALIZERS = {
 }
 
 
+def normalize_in_graph(img, method: str):
+    """jnp mirror of NORMALIZERS[method] for IN-GRAPH preprocessing (uint8
+    serving requests: 4x less transport than pre-normalized f32; XLA fuses
+    the arithmetic into the first conv). Same channel-swap quirks, same
+    fp32 arithmetic — bit-compatible with the host normalizers."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(img, jnp.float32)[..., ::-1]
+    if method == "clipsan":
+        return (x - _CLIPSAN_MEAN) / _CLIPSAN_STD
+    if method == "mmlab":
+        return (x - _MMLAB_MEAN) / _MMLAB_STD
+    if method == "midas":
+        return (x / 255.0 - 0.5) / 0.5
+    if method == "depthanythingv2":
+        return (x / 255.0 - _IMAGENET_MEAN) / _IMAGENET_STD
+    raise ValueError(f"unknown normalization method {method!r}")
+
+
 def dav2_size(h: int, w: int, target: int = 252) -> Tuple[int, int]:
     """DA-V2 lower-bound keep-aspect resize to a multiple of 14.
 

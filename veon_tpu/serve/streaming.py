@@ -36,7 +36,7 @@ class TemporalSession:
 
     def __init__(self, model, variables, ovw, membership=None,
                  rig_metas: Optional[Dict[str, Any]] = None, jit=True,
-                 estimate_depth=True):
+                 estimate_depth=True, normalize=None):
         import jax
         import jax.numpy as jnp
 
@@ -65,8 +65,21 @@ class TemporalSession:
         method = (VeonModel.full_forward_streaming if estimate_depth
                   else VeonModel.forward_streaming)
 
+        # normalize=(img_method, depth_method): clients send raw uint8 HWC
+        # RGB frames (4x less transport) and the normalizers run in-graph
+        # (data/transforms.normalize_in_graph — XLA fuses them into the
+        # first convs)
+        if normalize is not None:
+            from ..data.transforms import normalize_in_graph
+
+            img_m, depth_m = normalize
+
         def fn(variables, imgs, depth_imgs, metas, ovw, prev_vox, prev_l2g,
                text_embed):
+            if normalize is not None:
+                imgs = normalize_in_graph(imgs, img_m)
+                if estimate_depth:  # metric-depth mode takes depth, not images
+                    depth_imgs = normalize_in_graph(depth_imgs, depth_m)
             out = model.apply(variables, imgs, depth_imgs, metas, ovw,
                               prev_vox, prev_l2g, train=False, method=method)
             if membership is not None:
