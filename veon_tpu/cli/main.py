@@ -459,7 +459,7 @@ def cmd_pretrain_depth(args):
         from ..data.transforms import dav2_size
 
         model = DepthAnythingV2(cfg=cfg.depth)
-        dh, dw = dav2_size(H, W)
+        dh, dw = dav2_size(H, W, target=cfg.data.dav2_target)
         trainable = depth_trainable
         convert = lambda sd: C.convert_dav2(sd, cfg.depth)  # noqa: E731
     with jax.default_device(cpu):
@@ -807,6 +807,20 @@ def _build_serve_handler(args):
         imgs = jnp.full(imgs.shape, 127, jnp.uint8)
         depth_imgs = jnp.full(depth_imgs.shape, 127, jnp.uint8)
 
+    def check_img_dtype(req):
+        """Reject dtype/mode mismatches LOUDLY: normalized f32 frames into a
+        --raw-uint8 server (double normalization) or raw 0-255 uint8 into a
+        float server would both return well-formed garbage — and the
+        unexpected dtype would silently retrace/recompile the jit first."""
+        want = np.uint8 if raw_u8 else np.float32
+        for k in ("imgs", "depth_imgs"):
+            got = np.asarray(req[k]).dtype
+            if got != want:
+                mode = "--raw-uint8" if raw_u8 else "normalized-float"
+                raise TypeError(
+                    f"{k} dtype {got} does not match this server's {mode} "
+                    f"mode (expected {np.dtype(want)})")
+
     # serving is fixed-rig: precompute the lift's rank sort once
     # (accelerate mode, view_transformer_raw.py:196-215)
     s2k = sensor2keyego_chain(
@@ -847,6 +861,7 @@ def _build_serve_handler(args):
             if missing:
                 raise KeyError(f"missing tensors: {missing} "
                                "(or send a `reset` frame)")
+            check_img_dtype(req)
             te, want_retr = request_embed(req)
             out = session.infer(
                 jnp.asarray(req["imgs"]), jnp.asarray(req["depth_imgs"]),
@@ -858,8 +873,9 @@ def _build_serve_handler(args):
             return resp
 
         required = ()  # reset frames carry no imgs; handler validates
-        expect = (f"expected per-frame imgs {tuple(imgs1.shape)}, depth_imgs "
-                  f"{tuple(depth1.shape)}, lidarego2global (1, 4, 4); optional "
+        expect = (f"expected per-frame imgs {tuple(imgs1.shape)} "
+                  f"{imgs1.dtype}, depth_imgs {tuple(depth1.shape)}, "
+                  f"lidarego2global (1, 4, 4); optional "
                   f"text_embed/text_tokens for retrieval")
     else:
         @jax.jit
@@ -881,6 +897,7 @@ def _build_serve_handler(args):
                                      zero_embed))
 
         def handler(**req):
+            check_img_dtype(req)
             te, want_retr = request_embed(req)
             pred, retr = jit_fn(variables, jnp.asarray(req["imgs"]),
                                 jnp.asarray(req["depth_imgs"]), metas, ovw, te)
@@ -890,7 +907,7 @@ def _build_serve_handler(args):
             return resp
 
         required = ("imgs", "depth_imgs")
-        expect = (f"expected imgs {tuple(imgs.shape)}, depth_imgs "
+        expect = (f"expected imgs {tuple(imgs.shape)} {imgs.dtype}, depth_imgs "
                   f"{tuple(depth_imgs.shape)}; optional text_embed/"
                   f"text_tokens for retrieval")
 

@@ -35,31 +35,43 @@ _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+# One table drives BOTH the host (numpy) and in-graph (jnp) normalizers so
+# the two cannot drift: (divide_by_255, mean, std); every method also flips
+# channels ([..., ::-1], the mmcv to_rgb-on-RGB quirk above). References:
+# clipsan loading.py:1027-1034, mmlab :1017-1024, midas :1037-1045
+# (/255 then (x-0.5)/0.5), depthanythingv2 :1048-1070 (cv2.COLOR_BGR2RGB on
+# an already-RGB PIL array — a reversal — then /255 + ImageNet stats;
+# the multiple-of-14 lower-bound resize happens separately, dav2_size).
+_NORM_TABLE = {
+    "clipsan": (False, _CLIPSAN_MEAN, _CLIPSAN_STD),
+    "mmlab": (False, _MMLAB_MEAN, _MMLAB_STD),
+    "midas": (True, np.float32(0.5), np.float32(0.5)),
+    "depthanythingv2": (True, _IMAGENET_MEAN, _IMAGENET_STD),
+}
+
+
+def _normalize(xp, img, method: str):
+    div255, mean, std = _NORM_TABLE[method]
+    x = xp.asarray(img, xp.float32)[..., ::-1]
+    if div255:
+        x = x / 255.0
+    return (x - mean) / std
+
+
 def normalize_clipsan(img: np.ndarray) -> np.ndarray:
-    """clipsanNormalize (loading.py:1027-1034): channel swap + CLIP stats."""
-    x = np.asarray(img, np.float32)[..., ::-1]
-    return (x - _CLIPSAN_MEAN) / _CLIPSAN_STD
+    return _normalize(np, img, "clipsan")
 
 
 def normalize_mmlab(img: np.ndarray) -> np.ndarray:
-    """mmlabNormalize (loading.py:1017-1024)."""
-    x = np.asarray(img, np.float32)[..., ::-1]
-    return (x - _MMLAB_MEAN) / _MMLAB_STD
+    return _normalize(np, img, "mmlab")
 
 
 def normalize_midas(img: np.ndarray) -> np.ndarray:
-    """midasNormalize (loading.py:1037-1045): /255 then (x-0.5)/0.5, swapped."""
-    x = np.asarray(img, np.float32)[..., ::-1] / 255.0
-    return (x - 0.5) / 0.5
+    return _normalize(np, img, "midas")
 
 
 def normalize_dav2(img: np.ndarray) -> np.ndarray:
-    """DA-V2 normalization (depthanythingNormalize, loading.py:1048-1070):
-    the reference runs cv2.COLOR_BGR2RGB on an already-RGB PIL array — a
-    channel reversal — then /255 + ImageNet stats. Resizing to the
-    multiple-of-14 lower-bound resolution happens separately (dav2_size)."""
-    x = np.asarray(img, np.float32)[..., ::-1] / 255.0
-    return (x - _IMAGENET_MEAN) / _IMAGENET_STD
+    return _normalize(np, img, "depthanythingv2")
 
 
 NORMALIZERS = {
@@ -71,22 +83,15 @@ NORMALIZERS = {
 
 
 def normalize_in_graph(img, method: str):
-    """jnp mirror of NORMALIZERS[method] for IN-GRAPH preprocessing (uint8
+    """jnp twin of NORMALIZERS[method] for IN-GRAPH preprocessing (uint8
     serving requests: 4x less transport than pre-normalized f32; XLA fuses
-    the arithmetic into the first conv). Same channel-swap quirks, same
-    fp32 arithmetic — bit-compatible with the host normalizers."""
+    the arithmetic into the first conv). Same _NORM_TABLE, same fp32
+    arithmetic — bit-compatible with the host normalizers by construction."""
     import jax.numpy as jnp
 
-    x = jnp.asarray(img, jnp.float32)[..., ::-1]
-    if method == "clipsan":
-        return (x - _CLIPSAN_MEAN) / _CLIPSAN_STD
-    if method == "mmlab":
-        return (x - _MMLAB_MEAN) / _MMLAB_STD
-    if method == "midas":
-        return (x / 255.0 - 0.5) / 0.5
-    if method == "depthanythingv2":
-        return (x / 255.0 - _IMAGENET_MEAN) / _IMAGENET_STD
-    raise ValueError(f"unknown normalization method {method!r}")
+    if method not in _NORM_TABLE:
+        raise ValueError(f"unknown normalization method {method!r}")
+    return _normalize(jnp, img, method)
 
 
 def dav2_size(h: int, w: int, target: int = 252) -> Tuple[int, int]:
