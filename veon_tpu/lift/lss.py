@@ -215,6 +215,12 @@ class LSSLift:
     # knob that MUST be paired with a count_valid_ranks check for the
     # worst-case depth map — an exceeded cap drops mass silently.
     spray_cap: Optional[float] = None
+    # camera-sharded SPMD (serve/camshard.py): name of the mesh axis the
+    # camera ring is sharded over. The all-reduce completing the splat must
+    # happen on the FULL-resolution grid, BEFORE the ds max-pool — max does
+    # not commute with the cross-camera sum (overlap cells hold mass from
+    # several cameras) — so it lives here rather than after the lift.
+    psum_axis: Optional[str] = None
 
     def precompute_ranks(self, sensor2ego, cam2img, post_rot, post_tran, bda):
         """The "accelerate" mode (`view_transformer_raw.py:196-215, 304-332`):
@@ -308,6 +314,11 @@ class LSSLift:
         return self._ds_pool(vox)
 
     def _ds_pool(self, vox: jnp.ndarray) -> jnp.ndarray:
+        if self.psum_axis is not None:
+            # camera-sharded: each shard pooled only its local cameras'
+            # points; sum the full-res grids over the cam mesh axis (ICI
+            # all-reduce) BEFORE the max-pool (see psum_axis field note)
+            vox = jax.lax.psum(vox, self.psum_axis)
         dz, dh, dw = self.ds_feat
         if (dz, dh, dw) != (1, 1, 1):
             B, Z, Y, X, C = vox.shape

@@ -55,6 +55,11 @@ class VeonModel(nn.Module):
     # equivalent, highres_side_adaptor.py:262-298 / align_net_occ3d.py:257;
     # required to fit the B=1 stage-2 backward in 16 GB HBM)
     remat: bool = False
+    # camera-sharded SPMD serving (serve/camshard.py): the per-camera tower
+    # stack runs on this mesh axis's local camera subset and the lifted
+    # voxel grids are psum'd over it — the only cross-camera op in the
+    # pre-alignnet graph. None = single-device (all cameras local).
+    cam_axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -102,6 +107,7 @@ class VeonModel(nn.Module):
         self.lift = LSSLift(
             grid=c.grid, input_size=c.data.input_size, downsample=c.lss_downsample,
             out_channels=c.propagation.dim, ds_feat=c.lss_feat_ds,
+            psum_axis=self.cam_axis_name,
         )
 
     # ------------------------------------------------------------------
@@ -179,11 +185,18 @@ class VeonModel(nn.Module):
         def frame_feats(f):
             return {k: frame_flat(v, f) for k, v in clip_feats.items()}
 
-        sensor2keyegos = sensor2keyego_chain(
-            metas["sensor2egos"].reshape(B, F * N, 4, 4),
-            metas["ego2globals"].reshape(B, F * N, 4, 4),
-            F, N,
-        )  # (B, F, N, 4, 4), each frame anchored at its OWN cam-0 ego
+        if "sensor2keyegos" in metas:
+            # precomputed override (serve/camshard.py): under camera sharding
+            # each shard's local cam 0 is NOT the rig's cam 0, so the
+            # per-frame keyego anchor must be fixed outside the sharded
+            # region from the full rig's metas
+            sensor2keyegos = metas["sensor2keyegos"]
+        else:
+            sensor2keyegos = sensor2keyego_chain(
+                metas["sensor2egos"].reshape(B, F * N, 4, 4),
+                metas["ego2globals"].reshape(B, F * N, 4, 4),
+                F, N,
+            )  # (B, F, N, 4, 4), each frame anchored at its OWN cam-0 ego
 
         def lift_frame(f, feats_f):
             """fuse(0) + LSS lift for frame f (`align_net_occ3d.py:268-318`)."""
@@ -285,6 +298,9 @@ class VeonModel(nn.Module):
             vox = self.lift.lift_from_metric(fused, d_ds, *lift_args)
         else:
             vox = self.lift(fused, two_hot_depth(d_ds, c.grid), *lift_args)
+        # under camera sharding the cross-camera psum completing the splat
+        # happens INSIDE the lift (LSSLift.psum_axis), on the full-res grid
+        # before its ds max-pool — max does not commute with the sum
         return vox, feats_f
 
     # ------------------------------------------------------------------
@@ -305,9 +321,12 @@ class VeonModel(nn.Module):
         flat = imgs.reshape((B * N,) + imgs.shape[3:])
         h2 = (flat.shape[1] // 2, flat.shape[2] // 2)
         clip_feats = self.clip_ext(resize_bilinear(flat, h2, align_corners=False))
-        s2k = sensor2keyego_chain(
-            metas["sensor2egos"].reshape(B, N, 4, 4),
-            metas["ego2globals"].reshape(B, N, 4, 4), 1, N)[:, 0]
+        if "sensor2keyegos" in metas:
+            s2k = metas["sensor2keyegos"][:, 0]
+        else:
+            s2k = sensor2keyego_chain(
+                metas["sensor2egos"].reshape(B, N, 4, 4),
+                metas["ego2globals"].reshape(B, N, 4, 4), 1, N)[:, 0]
         lift_args = (s2k, metas["intrins"][:, 0], metas["post_rots"][:, 0],
                      metas["post_trans"][:, 0], metas["bda"])
         vox, _ = self._early_vox(flat, clip_feats, depth[:, 0], lift_args,
@@ -347,9 +366,12 @@ class VeonModel(nn.Module):
         flat0 = imgs.reshape((B * N,) + imgs.shape[3:])
         h2 = (flat0.shape[1] // 2, flat0.shape[2] // 2)
         feats0 = self.clip_ext(resize_bilinear(flat0, h2, align_corners=False))
-        s2k = sensor2keyego_chain(
-            metas["sensor2egos"].reshape(B, N, 4, 4),
-            metas["ego2globals"].reshape(B, N, 4, 4), 1, N)[:, 0]
+        if "sensor2keyegos" in metas:
+            s2k = metas["sensor2keyegos"][:, 0]
+        else:
+            s2k = sensor2keyego_chain(
+                metas["sensor2egos"].reshape(B, N, 4, 4),
+                metas["ego2globals"].reshape(B, N, 4, 4), 1, N)[:, 0]
         lift0_args = (s2k, metas["intrins"][:, 0], metas["post_rots"][:, 0],
                       metas["post_trans"][:, 0], metas["bda"])
         # return_early_vox: the current frame's pre-fusion lifted features

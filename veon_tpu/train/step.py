@@ -148,12 +148,37 @@ def create_train_state(
     )
 
 
+def _gather_cams(outputs, metas, cam_axis: str):
+    """Reassemble the full-camera view for the loss under camera sharding.
+
+    The distillation loss couples cameras (per-camera inverse-frequency
+    weights normalized by the cross-camera point total,
+    `occ3d_nuscenes.py:449-508`), so it must see ALL cameras: all_gather the
+    per-camera output leaves and meta leaves over the cam mesh axis — they
+    are (N_local, h, w, P)-sized, a negligible collective next to the lift
+    grid psum."""
+    outputs = dict(outputs)
+    for k in ("sem_seg_ds", "sem_embed_ds", "clip_feat"):
+        if k in outputs:
+            outputs[k] = jax.lax.all_gather(outputs[k], cam_axis, axis=1,
+                                            tiled=True)
+    metas = dict(metas)
+    for k in ("intrins", "post_rots", "post_trans"):
+        metas[k] = jax.lax.all_gather(metas[k], cam_axis, axis=2, tiled=True)
+    for k in ("cam2camego", "camego2global"):
+        if k in metas:
+            metas[k] = jax.lax.all_gather(metas[k], cam_axis, axis=1,
+                                          tiled=True)
+    return outputs, metas
+
+
 def make_train_step(
     model: VeonModel,
     tx,
     cfg: VeonConfig,
     membership: np.ndarray,
     mesh: Optional[Mesh] = None,
+    cam_axis: Optional[str] = None,
 ):
     """Build the stage-2 train step.
 
@@ -162,9 +187,22 @@ def make_train_step(
 
     With a mesh, the step runs under shard_map over the `batch` axis: inputs
     batch-sharded, params replicated, grads psum-averaged, BN stats synced.
+
+    With `cam_axis` (requires a 2D mesh ("batch", cam_axis) and a model
+    built with cam_axis_name=cam_axis), the camera ring additionally shards
+    over the second mesh axis — 2D (data x model) parallelism the reference
+    lacks (its only axis is DDP, `apis/train.py:186-205`). Per-chip tower
+    activation memory drops ~cam_shards-fold, buying resolution/temporal
+    headroom beyond the B=1-per-chip HBM limit. The batch's metas must come
+    from `serve.camshard.prepare_camshard_metas` (pinned full-rig
+    sensor2keyegos).
     """
     image_hw = cfg.data.input_size
     axis = "batch" if mesh is not None else None
+    if cam_axis is not None:
+        assert mesh is not None and cam_axis in mesh.axis_names, cam_axis
+        assert model.cam_axis_name == cam_axis, (
+            "build the model with cam_axis_name matching the step's cam_axis")
 
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -184,9 +222,12 @@ def make_train_step(
             variables, batch["imgs"], depth, batch["metas"],
             batch["ov_weight"], train=True, mutable=["batch_stats"],
         )
+        loss_metas = batch["metas"]
+        if cam_axis is not None:
+            outputs, loss_metas = _gather_cams(outputs, loss_metas, cam_axis)
         losses = occupancy_loss(
             outputs, batch["voxel_semantics"], batch["mask_camera"],
-            batch["metas"], batch["ov_weight"], membership, cfg.grid,
+            loss_metas, batch["ov_weight"], membership, cfg.grid,
             image_hw, batch["epoch"], cfg.loss,
         )
         total = sum(losses.values())
@@ -196,6 +237,23 @@ def make_train_step(
         (total, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch)
+        if cam_axis is not None:
+            # Loss/stats are already identical across the cam axis (computed
+            # from gathered outputs / psum'd voxel grids). Gradients: every
+            # backward path from the (replicated) loss to a per-camera tower
+            # param crosses exactly ONE cam-axis collective — the lift grid
+            # psum or the output all_gather — and under shard_map's full-
+            # manual mode (check_rep=False) both transpose to a SUM of the S
+            # shards' identical cotangents, i.e. each shard's grad is
+            # S x (its own cameras' contribution). Replicated-stage params
+            # (alignnet/heads) cross none: grad = 1 x total, identical on
+            # every shard. pmean is exact for BOTH cases at once:
+            #   pmean(S * contrib_s) = sum_s contrib_s = total
+            #   pmean(total)         = total
+            # (verified to delta-level by
+            # test_camshard_2d_mesh_train_step_agreement; a wrong combine is
+            # an exact S x scale error there).
+            grads = jax.lax.pmean(grads, cam_axis)
         if axis is not None:
             grads = jax.lax.pmean(grads, axis)
             losses = jax.lax.pmean(losses, axis)
@@ -221,13 +279,28 @@ def make_train_step(
     from jax.experimental.shard_map import shard_map
 
     REPLICATED_KEYS = ("ov_weight", "epoch")
+    # leaves that additionally shard the camera axis under cam_axis (metas
+    # laid out (B, F, N, ...) vs (B, N, ...) — serve/camshard.py convention)
+    CAM_AXIS2_KEYS = ("imgs", "depth", "depth_imgs", "depth_preds",
+                      "sensor2egos", "ego2globals", "intrins", "post_rots",
+                      "post_trans", "sensor2keyegos")
+    CAM_AXIS1_KEYS = ("cam2camego", "camego2global")
 
     def batch_specs(batch):
         """Batch-sharded leaves except globally-replicated scalars/weights."""
 
         def spec(path, _leaf):
-            top = path[0].key if hasattr(path[0], "key") else str(path[0])
-            return P() if top in REPLICATED_KEYS else P("batch")
+            keys = [k.key if hasattr(k, "key") else str(k) for k in path]
+            top = keys[0]
+            leaf_key = keys[-1]
+            if top in REPLICATED_KEYS:
+                return P()
+            if cam_axis is not None:
+                if leaf_key in CAM_AXIS2_KEYS:
+                    return P("batch", None, cam_axis)
+                if leaf_key in CAM_AXIS1_KEYS:
+                    return P("batch", cam_axis)
+            return P("batch")
 
         return jax.tree_util.tree_map_with_path(spec, batch)
 
