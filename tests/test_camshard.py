@@ -142,3 +142,59 @@ def test_camshard_parity_presorted(tiny_graph):
     fwd = make_camera_sharded_forward(g["cfg"], mesh, method="forward")
     out = fwd(g["params"], g["imgs"], g["depth"], metas, g["ovw"])
     _compare(out, g["out"])
+
+
+def test_train_cli_cam_shards_wiring(tmp_path, monkeypatch):
+    """`veon_tpu train --cam-shards 2` plumbing: the CLI must build the 2D
+    ("batch", "cam") mesh, clone the step model with cam_axis_name="cam",
+    pass cam_axis through to make_train_step, and pin full-rig
+    sensor2keyegos into every batch's metas. The step math itself is proven
+    by test_camshard_2d_mesh_train_step_agreement — here the factory is
+    stubbed so the test costs no train-graph compile."""
+    import dataclasses
+    import os
+
+    from tests.test_data_pipeline import _make_fixture
+
+    from veon_tpu.cli.main import main
+    from veon_tpu.configs import presets
+    from veon_tpu.train import step as step_mod
+
+    root = str(tmp_path)
+    pkl = _make_fixture(root)
+
+    def veon_tiny_fixture(num_temporal=1):
+        cfg = presets.veon_tiny_test(num_temporal=num_temporal)
+        return dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, src_size=(90, 160)))
+
+    monkeypatch.setattr(presets, "veon_tiny_fixture", veon_tiny_fixture,
+                        raising=False)
+
+    seen = {}
+
+    def fake_make_train_step(model, tx, cfg, membership, mesh=None,
+                             cam_axis=None):
+        seen["mesh_axes"] = mesh.axis_names if mesh is not None else None
+        seen["mesh_shape"] = tuple(mesh.devices.shape) if mesh is not None else None
+        seen["cam_axis"] = cam_axis
+        seen["model_cam_axis_name"] = model.cam_axis_name
+
+        def step(state, batch):
+            s2k = batch["metas"]["sensor2keyegos"]
+            assert s2k.ndim == 5 and s2k.shape[2] == 6, s2k.shape
+            seen["batches"] = seen.get("batches", 0) + 1
+            return state, {"loss_total": np.float32(0.0)}
+
+        return step
+
+    monkeypatch.setattr(step_mod, "make_train_step", fake_make_train_step)
+    work = os.path.join(root, "work_camshard")
+    main(["train", "--preset", "veon_tiny_fixture", "--data-root", root,
+          "--ann", pkl, "--workers", "1", "--epochs", "1",
+          "--batch-size", "1", "--cam-shards", "2", "--work-dir", work])
+    assert seen["mesh_axes"] == ("batch", "cam")
+    assert seen["mesh_shape"] == (4, 2)  # 8 virtual devices / 2 cam shards
+    assert seen["cam_axis"] == "cam"
+    assert seen["model_cam_axis_name"] == "cam"
+    assert seen.get("batches", 0) >= 1

@@ -218,9 +218,33 @@ def cmd_train(args):
             else:
                 print(f"auto-resumed from {latest} (epoch {start_epoch})")
     devices = jax.devices()
-    mesh = Mesh(np.asarray(devices), ("batch",)) if len(devices) > 1 else None
     membership = text_mod.merge_matrix(refl)
-    step = make_train_step(model, tx, cfg, membership, mesh=mesh)
+    cam_shards = getattr(args, "cam_shards", 1)
+    if cam_shards > 1:
+        # 2D (batch x cam) mesh: the camera ring shards over the second axis
+        # (serve/camshard.py; per-batch metas get full-rig sensor2keyegos
+        # pinned below). The model used for the STEP carries cam_axis_name;
+        # params from the plain init are structurally identical.
+        if len(devices) % cam_shards:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by --cam-shards {cam_shards}")
+        mesh = Mesh(np.asarray(devices).reshape(-1, cam_shards),
+                    ("batch", "cam"))
+        step_model = model.clone(cam_axis_name="cam")
+        step = make_train_step(step_model, tx, cfg, membership, mesh=mesh,
+                               cam_axis="cam")
+        from ..serve.camshard import prepare_camshard_metas
+
+        base_step = step
+
+        def step(state, batch):  # noqa: F811 — intentional wrap
+            batch = dict(batch)
+            batch["metas"] = prepare_camshard_metas(cfg, batch["metas"],
+                                                    cam_shards)
+            return base_step(state, batch)
+    else:
+        mesh = Mesh(np.asarray(devices), ("batch",)) if len(devices) > 1 else None
+        step = make_train_step(model, tx, cfg, membership, mesh=mesh)
     from ..utils.logging import MetricWriter
 
     with MetricWriter(args.work_dir, tensorboard=True) as writer:
@@ -968,6 +992,11 @@ def main(argv=None):
                        help="this process's rank (also read from NODE_RANK)")
         p.add_argument("--temporal-start-epoch", type=int, default=0,
                        help="epoch at which previous frames engage (SequentialControlHook)")
+        p.add_argument("--cam-shards", type=int, default=1,
+                       help="shard the 6-camera ring over a second mesh axis "
+                            "(2D batch x cam parallelism; devices = "
+                            "batch_shards x cam_shards, per-chip tower "
+                            "activations drop ~cam_shards-fold)")
         p.add_argument("--socket", default="/tmp/veon_serve.sock",
                        help="serve: unix socket path")
         p.add_argument("--raw-uint8", action="store_true",
