@@ -198,3 +198,77 @@ def test_train_cli_cam_shards_wiring(tmp_path, monkeypatch):
     assert seen["cam_axis"] == "cam"
     assert seen["model_cam_axis_name"] == "cam"
     assert seen.get("batches", 0) >= 1
+
+
+def test_camshard_streaming_session_parity(tiny_graph):
+    """Camera sharding composed with the streaming temporal cache: a
+    3-shard TemporalSession rolled through (prev, current) frames must
+    reproduce the batched single-device recompute output — i.e. the two
+    serving accelerations (early-vox reuse + cam-axis tower sharding)
+    compose exactly. Steady-state latency model: tower/S + warp + fusion."""
+    from veon_tpu.serve import TemporalSession
+
+    g = tiny_graph(2)
+    model, params = g["model"], g["params"]
+    imgs, depth, metas = g["imgs"], g["depth"], g["metas"]
+
+    def frame_metas(f):
+        m = {k: v[:, f:f + 1] for k, v in metas.items()
+             if k in ("sensor2egos", "ego2globals", "intrins", "post_rots",
+                      "post_trans")}
+        m["bda"] = metas["bda"]
+        return m
+
+    mesh = Mesh(np.asarray(jax.devices()[:3]), ("cam",))
+    sess = TemporalSession(model, params, g["ovw"], estimate_depth=False,
+                           mesh=mesh)
+
+    m1 = frame_metas(1)
+    m1["lidarego2global"] = metas["prev_lidarego2global"][:, 0]
+    sess.infer(imgs[:, 1:2], depth[:, 1:2], m1)
+
+    m0 = frame_metas(0)
+    m0["lidarego2global"] = metas["lidarego2global"]
+    out = sess.infer(imgs[:, 0:1], depth[:, 0:1], m0)
+    assert sess.calls == 2
+
+    for k in g["out"]:  # batched recompute (frame 0 current, frame 1 prev)
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(g["out"][k]),
+            rtol=2e-4, atol=2e-4, err_msg=k)
+
+
+def test_camshard_serve_handler_full_forward_parity():
+    """`veon_tpu serve --cam-shards 3` (single-frame mode): the sharded
+    handler must match the unsharded handler on the same request. This is
+    also the only test driving the DEPTH TOWER under camera sharding
+    (full_forward; the other parity tests feed metric depth), plus the
+    fusion rule and in-graph retrieval on the replicated voxel leaves."""
+    import argparse
+
+    from veon_tpu.cli.main import _build_serve_handler
+    from veon_tpu.cli.shapes import example_batch_full
+    from veon_tpu.configs import presets
+
+    cfg = presets.veon_tiny_test()
+    imgs, depth_imgs, metas = example_batch_full(cfg, B=1)
+    te = np.random.default_rng(11).standard_normal(
+        cfg.propagation.clip_proj_dim).astype(np.float32)
+    req = dict(imgs=np.asarray(imgs), depth_imgs=np.asarray(depth_imgs),
+               text_embed=te)
+
+    outs = {}
+    for shards in (1, 3):
+        args = argparse.Namespace(
+            preset="veon_tiny_test", num_temporal=1, load_from=None,
+            depth_load_from=None, bpe_path=None, cam_shards=shards)
+        handler, required, _expect, exclusive = _build_serve_handler(args)
+        assert required == ("imgs", "depth_imgs")
+        assert not exclusive
+        outs[shards] = handler(**req)
+
+    # int32 fusion-rule classes: identical up to fp32 psum-reorder ties
+    same = np.mean(outs[1]["pred"] == outs[3]["pred"])
+    assert same >= 0.999, f"pred agreement {same}"
+    np.testing.assert_allclose(outs[3]["retrieval"], outs[1]["retrieval"],
+                               rtol=2e-4, atol=2e-4)

@@ -245,6 +245,15 @@ def cmd_train(args):
     else:
         mesh = Mesh(np.asarray(devices), ("batch",)) if len(devices) > 1 else None
         step = make_train_step(model, tx, cfg, membership, mesh=mesh)
+    if mesh is not None and jax.process_count() == 1:
+        # the state's leaves were committed to device 0 (_build_model_and_
+        # params / load_checkpoint); replicate them onto the mesh — a
+        # committed single-device input into a multi-device shard_map is an
+        # error, not an implicit transfer (multi-host assembles its own
+        # global arrays in the step instead)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
     from ..utils.logging import MetricWriter
 
     with MetricWriter(args.work_dir, tensorboard=True) as writer:
@@ -850,13 +859,33 @@ def _build_serve_handler(args):
     s2k = sensor2keyego_chain(
         metas["sensor2egos"].reshape(1, -1, 4, 4),
         metas["ego2globals"].reshape(1, -1, 4, 4), F, N)
-    lift = LSSLift(grid=cfg.grid, input_size=cfg.data.input_size,
-                   downsample=cfg.lss_downsample,
-                   out_channels=cfg.propagation.dim, ds_feat=cfg.lss_feat_ds)
+    lift = LSSLift.from_config(cfg)
     metas = dict(metas)
     metas["lift_sorted"] = lift.precompute_sorted(
         s2k[:, 0], metas["intrins"][:, 0], metas["post_rots"][:, 0],
         metas["post_trans"][:, 0], metas["bda"])
+
+    # --cam-shards: camera-sharded serving (serve/camshard.py) — towers on
+    # a ("cam",) mesh, one full-res grid psum, replicated 3D stage; the
+    # latency-scaling axis for a multi-chip serving host
+    cam_shards = getattr(args, "cam_shards", 1)
+    mesh = None
+    if cam_shards > 1:
+        from jax.sharding import Mesh
+
+        from ..serve.camshard import prepare_camshard_metas
+
+        if len(jax.devices()) < cam_shards:
+            raise ValueError(
+                f"--cam-shards {cam_shards} needs that many devices; "
+                f"have {len(jax.devices())}")
+        mesh = Mesh(np.asarray(jax.devices()[:cam_shards]), ("cam",))
+        # variables were committed to device 0 (_build_model_and_params);
+        # replicate them onto the mesh or shard_map rejects the mismatch
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        variables = jax.device_put(
+            variables, NamedSharding(mesh, PartitionSpec()))
 
     if cfg.num_temporal > 1:
         from ..serve.streaming import TemporalSession
@@ -865,10 +894,14 @@ def _build_serve_handler(args):
                ("sensor2egos", "ego2globals", "intrins", "post_rots",
                 "post_trans")}
         rig["bda"] = metas["bda"]
-        rig["lift_sorted"] = metas["lift_sorted"]
+        if mesh is None:
+            rig["lift_sorted"] = metas["lift_sorted"]
+        else:
+            # per-shard stacked presorted streams + pinned full-rig keyegos
+            rig = prepare_camshard_metas(cfg, rig, cam_shards, presort=True)
         session = TemporalSession(model, variables, ovw,
                                   membership=membership, rig_metas=rig,
-                                  normalize=norm_pair)
+                                  normalize=norm_pair, mesh=mesh)
         imgs1, depth1 = imgs[:, 0:1], depth_imgs[:, 0:1]
         print("warming (compiles the streaming serving graph)...", flush=True)
         jax.block_until_ready(session.infer(
@@ -902,19 +935,42 @@ def _build_serve_handler(args):
                   f"lidarego2global (1, 4, 4); optional "
                   f"text_embed/text_tokens for retrieval")
     else:
-        @jax.jit
-        def jit_fn(variables, imgs, depth_imgs, metas, ovw, text_embed):
+        serve_model = model if mesh is None else model.clone(cam_axis_name="cam")
+        if mesh is not None:
+            metas = prepare_camshard_metas(
+                cfg, {k: v for k, v in metas.items() if k != "lift_sorted"},
+                cam_shards, presort=True)
+
+        def fn(variables, imgs, depth_imgs, metas, ovw, text_embed):
             if norm_pair is not None:
                 imgs = normalize_in_graph(imgs, norm_pair[0])
                 depth_imgs = normalize_in_graph(depth_imgs, norm_pair[1])
-            out = model.apply(variables, imgs, depth_imgs, metas, ovw,
-                              train=False, method=VeonModel.full_forward)
+            out = serve_model.apply(variables, imgs, depth_imgs, metas, ovw,
+                                    train=False, method=VeonModel.full_forward)
             merged = text_mod.merge_classes_max(out["sem_occ_raw"],
                                                 membership, axis=-1)
             # retrieval rides inside the jit: the cosine fuses with the feat
             # head, so serving it costs no extra feat_occ materialization
             return (fusion_rule(merged, out["bin_occ"]),
                     retrieval_map(out["feat_occ"], text_embed))
+
+        if mesh is None:
+            jit_fn = jax.jit(fn)
+        else:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..serve.camshard import metas_specs, shard_local_lift_sorted
+
+            jit_fn = jax.jit(shard_map(
+                lambda v, i, d, m, o, t: fn(
+                    v, i, d, shard_local_lift_sorted(m), o, t),
+                mesh=mesh,
+                in_specs=(P(), P(None, None, "cam"), P(None, None, "cam"),
+                          metas_specs(metas), P(), P()),
+                out_specs=(P(), P()),
+                check_rep=False,
+            ))
 
         print("warming (compiles the serving graph)...", flush=True)
         jax.block_until_ready(jit_fn(variables, imgs, depth_imgs, metas, ovw,
@@ -993,10 +1049,12 @@ def main(argv=None):
         p.add_argument("--temporal-start-epoch", type=int, default=0,
                        help="epoch at which previous frames engage (SequentialControlHook)")
         p.add_argument("--cam-shards", type=int, default=1,
-                       help="shard the 6-camera ring over a second mesh axis "
-                            "(2D batch x cam parallelism; devices = "
+                       help="shard the 6-camera ring over a mesh axis: "
+                            "train = 2D batch x cam parallelism (devices = "
                             "batch_shards x cam_shards, per-chip tower "
-                            "activations drop ~cam_shards-fold)")
+                            "activations drop ~cam_shards-fold); serve = "
+                            "camera-parallel latency scaling "
+                            "(~tower/S + 3D stage)")
         p.add_argument("--socket", default="/tmp/veon_serve.sock",
                        help="serve: unix socket path")
         p.add_argument("--raw-uint8", action="store_true",

@@ -222,6 +222,19 @@ class LSSLift:
     # several cameras) — so it lives here rather than after the lift.
     psum_axis: Optional[str] = None
 
+    @classmethod
+    def from_config(cls, cfg, **overrides):
+        """Single construction recipe from a VeonConfig, shared by
+        VeonModel.setup, the camshard serving path, and the bench/entry
+        harnesses — so a precomputed rank sort is always built with the same
+        lift the model runs (a drifted inline copy would silently desync
+        when a field becomes config-driven)."""
+        kw = dict(grid=cfg.grid, input_size=cfg.data.input_size,
+                  downsample=cfg.lss_downsample,
+                  out_channels=cfg.propagation.dim, ds_feat=cfg.lss_feat_ds)
+        kw.update(overrides)
+        return cls(**kw)
+
     def precompute_ranks(self, sensor2ego, cam2img, post_rot, post_tran, bda):
         """The "accelerate" mode (`view_transformer_raw.py:196-215, 304-332`):
         when intrinsics/extrinsics are constant, compute voxel ranks once and

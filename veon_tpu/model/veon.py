@@ -36,6 +36,28 @@ from ..ops.resize import resize_bilinear, resize_trilinear
 Dtype = Any
 VeonOutputs = Dict[str, jnp.ndarray]
 
+# _forward_current's per-camera (B, N, ...) output leaves — the single list
+# consumed by camshard serving's out_specs (sharded over the cam axis) and
+# the 2D-mesh train step's pre-loss all_gather (train/step.py): adding a
+# per-camera output here keeps both in sync.
+PER_CAMERA_OUTPUTS = ("sem_seg_ds", "sem_embed_ds", "clip_feat")
+# the voxel-grid leaves (replicated across cam shards after the lift psum)
+VOXEL_OUTPUTS = ("bin_occ", "feat_occ", "sem_occ_raw")
+
+
+def resolve_sensor2keyegos(metas, B, F, N):
+    """Per-frame keyego chain (B, F, N, 4, 4), honoring a precomputed
+    override: serve/camshard.py pins "sensor2keyegos" from the FULL rig
+    before camera sharding (a shard's local cam 0 is not the rig's cam 0,
+    so the anchor cannot be computed from sharded metas); otherwise it is
+    computed from the batch's own sensor2egos/ego2globals — each frame
+    anchored at its OWN cam-0 ego (`align_net_occ3d.py:328-352`)."""
+    if "sensor2keyegos" in metas:
+        return metas["sensor2keyegos"]
+    return sensor2keyego_chain(
+        metas["sensor2egos"].reshape(B, F * N, 4, 4),
+        metas["ego2globals"].reshape(B, F * N, 4, 4), F, N)
+
 
 def _flatten_cams(x):
     """(B, F, N, ...) -> (B*F*N, ...)."""
@@ -104,11 +126,7 @@ class VeonModel(nn.Module):
         self.alignnet = AlignNet3D(cfg=c.propagation, clip_outdim=c.propagation.clip_proj_dim,
                                    bn_axis_name=self.bn_axis_name,
                                    remat=self.remat, dtype=dt, name="alignnet")
-        self.lift = LSSLift(
-            grid=c.grid, input_size=c.data.input_size, downsample=c.lss_downsample,
-            out_channels=c.propagation.dim, ds_feat=c.lss_feat_ds,
-            psum_axis=self.cam_axis_name,
-        )
+        self.lift = LSSLift.from_config(c, psum_axis=self.cam_axis_name)
 
     # ------------------------------------------------------------------
     # depth branch
@@ -185,18 +203,7 @@ class VeonModel(nn.Module):
         def frame_feats(f):
             return {k: frame_flat(v, f) for k, v in clip_feats.items()}
 
-        if "sensor2keyegos" in metas:
-            # precomputed override (serve/camshard.py): under camera sharding
-            # each shard's local cam 0 is NOT the rig's cam 0, so the
-            # per-frame keyego anchor must be fixed outside the sharded
-            # region from the full rig's metas
-            sensor2keyegos = metas["sensor2keyegos"]
-        else:
-            sensor2keyegos = sensor2keyego_chain(
-                metas["sensor2egos"].reshape(B, F * N, 4, 4),
-                metas["ego2globals"].reshape(B, F * N, 4, 4),
-                F, N,
-            )  # (B, F, N, 4, 4), each frame anchored at its OWN cam-0 ego
+        sensor2keyegos = resolve_sensor2keyegos(metas, B, F, N)
 
         def lift_frame(f, feats_f):
             """fuse(0) + LSS lift for frame f (`align_net_occ3d.py:268-318`)."""
@@ -321,12 +328,7 @@ class VeonModel(nn.Module):
         flat = imgs.reshape((B * N,) + imgs.shape[3:])
         h2 = (flat.shape[1] // 2, flat.shape[2] // 2)
         clip_feats = self.clip_ext(resize_bilinear(flat, h2, align_corners=False))
-        if "sensor2keyegos" in metas:
-            s2k = metas["sensor2keyegos"][:, 0]
-        else:
-            s2k = sensor2keyego_chain(
-                metas["sensor2egos"].reshape(B, N, 4, 4),
-                metas["ego2globals"].reshape(B, N, 4, 4), 1, N)[:, 0]
+        s2k = resolve_sensor2keyegos(metas, B, 1, N)[:, 0]
         lift_args = (s2k, metas["intrins"][:, 0], metas["post_rots"][:, 0],
                      metas["post_trans"][:, 0], metas["bda"])
         vox, _ = self._early_vox(flat, clip_feats, depth[:, 0], lift_args,
@@ -366,12 +368,7 @@ class VeonModel(nn.Module):
         flat0 = imgs.reshape((B * N,) + imgs.shape[3:])
         h2 = (flat0.shape[1] // 2, flat0.shape[2] // 2)
         feats0 = self.clip_ext(resize_bilinear(flat0, h2, align_corners=False))
-        if "sensor2keyegos" in metas:
-            s2k = metas["sensor2keyegos"][:, 0]
-        else:
-            s2k = sensor2keyego_chain(
-                metas["sensor2egos"].reshape(B, N, 4, 4),
-                metas["ego2globals"].reshape(B, N, 4, 4), 1, N)[:, 0]
+        s2k = resolve_sensor2keyegos(metas, B, 1, N)[:, 0]
         lift0_args = (s2k, metas["intrins"][:, 0], metas["post_rots"][:, 0],
                       metas["post_trans"][:, 0], metas["bda"])
         # return_early_vox: the current frame's pre-fusion lifted features

@@ -27,6 +27,7 @@ multi-chip v5e slice.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -37,7 +38,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..configs.base import VeonConfig
 from ..geometry.frustum import sensor2keyego_chain
 from ..lift.lss import LSSLift
-from ..model.veon import VeonModel
+from ..model.veon import PER_CAMERA_OUTPUTS, VOXEL_OUTPUTS, VeonModel
 
 # metas leaves laid out (B, F, N, ...): shard the camera axis (2)
 _CAM_AXIS2 = ("sensor2egos", "ego2globals", "intrins", "post_rots",
@@ -47,9 +48,16 @@ _CAM_AXIS1 = ("cam2camego", "camego2global")
 
 
 def _build_lift(cfg: VeonConfig) -> LSSLift:
-    return LSSLift(grid=cfg.grid, input_size=cfg.data.input_size,
-                   downsample=cfg.lss_downsample,
-                   out_channels=cfg.propagation.dim, ds_feat=cfg.lss_feat_ds)
+    return LSSLift.from_config(cfg)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_chain():
+    """One jitted dispatch for the full-rig keyego chain: the 2D-mesh train
+    loop calls prepare_camshard_metas per BATCH (the anchor depends on each
+    batch's rig/aug), so the ~15 small eager ops of the raw chain would
+    otherwise be dispatched synchronously on the hot path every step."""
+    return jax.jit(sensor2keyego_chain, static_argnums=(2, 3))
 
 
 def prepare_camshard_metas(
@@ -74,9 +82,9 @@ def prepare_camshard_metas(
     s2e = metas["sensor2egos"]
     B, F, N = s2e.shape[:3]
     assert N % num_shards == 0, (N, num_shards)
-    metas["sensor2keyegos"] = sensor2keyego_chain(
-        s2e.reshape(B, F * N, 4, 4),
-        metas["ego2globals"].reshape(B, F * N, 4, 4), F, N)
+    metas["sensor2keyegos"] = _jitted_chain()(
+        jnp.reshape(s2e, (B, F * N, 4, 4)),
+        jnp.reshape(metas["ego2globals"], (B, F * N, 4, 4)), F, N)
     if not presort:
         metas.pop("lift_sorted", None)
         return metas
@@ -104,6 +112,20 @@ def prepare_camshard_metas(
             [pad(p["rk_sorted"], num_cells) for p in pre]),
         "ranks": jnp.concatenate([p["ranks"] for p in pre], axis=1),
     }
+    return metas
+
+
+def shard_local_lift_sorted(metas: Dict[str, Any]) -> Dict[str, Any]:
+    """Inside a shard_map body: unwrap this shard's block of the stacked
+    per-shard presorted streams (`prepare_camshard_metas(presort=True)`
+    stacks (S, P) arrays; each shard receives a (1, P) block)."""
+    if "lift_sorted" not in metas:
+        return metas
+    metas = dict(metas)
+    ls = metas["lift_sorted"]
+    metas["lift_sorted"] = {"order": ls["order"][0],
+                            "rk_sorted": ls["rk_sorted"][0],
+                            "ranks": ls["ranks"]}
     return metas
 
 
@@ -144,28 +166,24 @@ def make_camera_sharded_forward(
     """
     from jax.experimental.shard_map import shard_map
 
+    if "cam" not in mesh.axis_names:
+        raise ValueError(
+            f'mesh needs a "cam" axis (got {mesh.axis_names}) — the model '
+            "psums the lifted grid over that name")
     model = VeonModel(cfg=cfg, cam_axis_name="cam")
     fwd_method = (VeonModel.__call__ if method in ("forward", "__call__")
                   else getattr(VeonModel, method))
 
     def body(params, imgs, depth_imgs, metas, ovw):
-        metas = dict(metas)
-        if "lift_sorted" in metas:
-            ls = metas["lift_sorted"]
-            # stacked (S, P) per-shard streams arrive as (1, P) blocks
-            metas["lift_sorted"] = {"order": ls["order"][0],
-                                    "rk_sorted": ls["rk_sorted"][0],
-                                    "ranks": ls["ranks"]}
+        metas = shard_local_lift_sorted(metas)
         return model.apply(params, imgs, depth_imgs, metas, ovw,
                            train=False, method=fwd_method)
 
-    # `VeonModel._forward_current` output keys: the 2D leaves are per-camera
-    # (sharded over "cam"); the voxel leaves are replicated (identical on
-    # every device after the in-graph psum)
-    per_cam = ("sem_seg_ds", "sem_embed_ds", "clip_feat")
-    out_keys = ("sem_seg_ds", "sem_embed_ds", "clip_feat", "bin_occ",
-                "feat_occ", "sem_occ_raw")
-    out_specs = {k: P(None, "cam") if k in per_cam else P() for k in out_keys}
+    # `VeonModel._forward_current` output keys (single source of truth in
+    # model/veon.py): the 2D leaves are per-camera (sharded over "cam"); the
+    # voxel leaves are replicated (identical after the in-graph psum)
+    out_specs = {k: P(None, "cam") for k in PER_CAMERA_OUTPUTS}
+    out_specs.update({k: P() for k in VOXEL_OUTPUTS})
 
     cache: Dict[Any, Any] = {}
 

@@ -36,7 +36,7 @@ class TemporalSession:
 
     def __init__(self, model, variables, ovw, membership=None,
                  rig_metas: Optional[Dict[str, Any]] = None, jit=True,
-                 estimate_depth=True, normalize=None):
+                 estimate_depth=True, normalize=None, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -46,6 +46,16 @@ class TemporalSession:
         cfg = model.cfg
         if cfg.num_temporal < 2:
             raise ValueError("TemporalSession needs cfg.num_temporal >= 2")
+        # camera-sharded streaming (serve/camshard.py composed with the
+        # early-vox cache): towers shard over the mesh's "cam" axis, the
+        # lift psums the full-res grid, and the replicated 3D stage fuses
+        # the (replicated) cached prev voxels — steady-state latency
+        # ~ tower/S + warp + fusion
+        self.mesh = mesh
+        if mesh is not None:
+            if "cam" not in mesh.axis_names:
+                raise ValueError(f'mesh needs a "cam" axis, got {mesh.axis_names}')
+            model = model.clone(cam_axis_name="cam")
         self.model = model
         self.variables = variables
         self.ovw = ovw
@@ -95,7 +105,43 @@ class TemporalSession:
 
         self._zero_embed = jnp.zeros((cfg.propagation.clip_proj_dim,),
                                      jnp.float32)
-        self._fn = jax.jit(fn) if jit else fn
+        if mesh is None:
+            self._fn = jax.jit(fn) if jit else fn
+        else:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..model.veon import PER_CAMERA_OUTPUTS, VOXEL_OUTPUTS
+            from .camshard import metas_specs, shard_local_lift_sorted
+
+            out_specs = {k: P(None, "cam") for k in PER_CAMERA_OUTPUTS}
+            out_specs.update(
+                {k: P() for k in VOXEL_OUTPUTS + ("early_vox", "retrieval")})
+            if membership is not None:
+                out_specs["pred"] = P()
+
+            def body(variables, imgs, depth_imgs, metas, ovw, pv, pl, te):
+                return fn(variables, imgs, depth_imgs,
+                          shard_local_lift_sorted(metas), ovw, pv, pl, te)
+
+            cache: Dict[Any, Any] = {}
+
+            def sharded(variables, imgs, depth_imgs, metas, ovw, pv, pl, te):
+                key = jax.tree_util.tree_structure(metas)
+                if key not in cache:
+                    sm = shard_map(
+                        body, mesh=mesh,
+                        in_specs=(P(), P(None, None, "cam"),
+                                  P(None, None, "cam"), metas_specs(metas),
+                                  P(), P(), P(), P()),
+                        out_specs=out_specs,
+                        check_rep=False,
+                    )
+                    cache[key] = jax.jit(sm)
+                return cache[key](variables, imgs, depth_imgs, metas, ovw,
+                                  pv, pl, te)
+
+            self._fn = sharded
 
     def infer(self, imgs, depth_imgs, metas, text_embed=None) -> Dict[str, Any]:
         """One temporal step. imgs (B,1,N,H,W,3) / depth_imgs single-frame;
@@ -107,6 +153,22 @@ class TemporalSession:
 
         m = dict(self.rig_metas)
         m.update(metas)
+        if self.mesh is not None:
+            if "lift_sorted" in m and m["lift_sorted"]["order"].ndim != 2:
+                raise ValueError(
+                    "camera-sharded session needs per-shard stacked presorted "
+                    "streams — build rig_metas with "
+                    "prepare_camshard_metas(..., presort=True)")
+            if "sensor2keyegos" not in m:
+                # pin the FULL rig's keyego anchor before sharding (one
+                # jitted dispatch; a shard's local cam 0 is not the rig's)
+                from .camshard import prepare_camshard_metas
+
+                keep = m.pop("lift_sorted", None)
+                m = prepare_camshard_metas(
+                    self.model.cfg, m, self.mesh.shape["cam"])
+                if keep is not None:
+                    m["lift_sorted"] = keep
         te = self._zero_embed if text_embed is None else jnp.asarray(
             text_embed, jnp.float32)
         out = dict(self._fn(self.variables, imgs, depth_imgs, m, self.ovw,

@@ -24,7 +24,7 @@ from flax.core import FrozenDict
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..configs.base import LossConfig, VeonConfig
-from ..model.veon import VeonModel
+from ..model.veon import PER_CAMERA_OUTPUTS, VeonModel
 from .losses import occupancy_loss
 
 
@@ -158,7 +158,7 @@ def _gather_cams(outputs, metas, cam_axis: str):
     are (N_local, h, w, P)-sized, a negligible collective next to the lift
     grid psum."""
     outputs = dict(outputs)
-    for k in ("sem_seg_ds", "sem_embed_ds", "clip_feat"):
+    for k in PER_CAMERA_OUTPUTS:
         if k in outputs:
             outputs[k] = jax.lax.all_gather(outputs[k], cam_axis, axis=1,
                                             tiled=True)
