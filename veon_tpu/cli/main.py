@@ -112,9 +112,7 @@ def _build_model_and_params(cfg, ckpt=None, san_ckpt=None, depth_ckpt=None,
     # (cfg, train). jnp arrays are immutable, so sharing the tree is safe;
     # downstream merges replace subtrees rather than mutating leaves.
     key = (repr(cfg), bool(train))
-    if _INIT_MEMO.get("key") == key:
-        variables = _INIT_MEMO["variables"]
-    else:
+    if _INIT_MEMO.get("key") != key:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             variables = jax.jit(model.init, static_argnames=("train", "method"))(
@@ -123,6 +121,12 @@ def _build_model_and_params(cfg, ckpt=None, san_ckpt=None, depth_ckpt=None,
             )
         _INIT_MEMO.clear()
         _INIT_MEMO.update(key=key, variables=variables)
+    # hand out COPIES of the memoized leaves, never the cached tree itself:
+    # when init device == run device the downstream device_put is an alias,
+    # and the train step's donate_argnums would delete the cached buffers —
+    # a second in-process build with the same key would then return a
+    # poisoned tree ("Array has been deleted")
+    variables = jax.tree_util.tree_map(jnp.copy, _INIT_MEMO["variables"])
     variables = dict(variables)
     extras = {}
     if san_ckpt:

@@ -66,6 +66,10 @@ class TensorServer:
             t = threading.Thread(target=self._serve_conn, args=(conn,),
                                  daemon=True)
             t.start()
+            # prune finished connection threads: a long-lived server takes
+            # one short connection per client call — keeping every dead
+            # Thread object would grow without bound
+            self._threads = [x for x in self._threads if x.is_alive()]
             self._threads.append(t)
 
     def _serve_conn(self, conn: socket.socket) -> None:
@@ -123,7 +127,7 @@ class TensorServer:
 
 def serve_exported(artifact_path: str, socket_path: str,
                    bound: Dict[str, Any], request_keys: Sequence[str],
-                   arg_order: Sequence[str], warm: bool = True,
+                   arg_order: Sequence[str],
                    out_names: Optional[Sequence[str]] = None) -> TensorServer:
     """Serve a serialized jax.export artifact.
 
@@ -150,10 +154,9 @@ def serve_exported(artifact_path: str, socket_path: str,
         names = out_names or [f"out{i}" for i in range(len(out))]
         return {n: np.asarray(v) for n, v in zip(names, out)}
 
-    if warm:
-        zeros = {k: np.zeros((), np.float32) for k in request_keys}  # probe
-        del zeros  # warm happens on first real request; shapes unknown here
-
+    # no warm-up call here: request tensor shapes are unknown until the
+    # first client frame arrives (the exported artifact is shape-frozen, so
+    # that first call pays load+bind, not a fresh XLA compile)
     srv = TensorServer(fn, socket_path, required=request_keys)
     srv.start()
     return srv

@@ -197,7 +197,7 @@ class TemporalSession:
         """(prev_vox, prev_lidarego2global) — exposed for checkpoint/debug."""
         return self._vox, self._l2g
 
-    def load_state(self, vox, l2g) -> None:
+    def load_state(self, vox, l2g, calls: Optional[int] = None) -> None:
         import jax.numpy as jnp
 
         if tuple(vox.shape) != tuple(self._vox.shape):
@@ -208,3 +208,8 @@ class TemporalSession:
                 f"l2g shape {tuple(np.shape(l2g))} != {tuple(self._l2g.shape)}")
         self._vox = jnp.asarray(vox, self._vox.dtype)
         self._l2g = jnp.asarray(np.asarray(l2g), jnp.float32)
+        if calls is not None:
+            # keep the cold-start accounting consistent with the restored
+            # cache ("steady state begins at call num_temporal"); callers
+            # restoring a warmed cache should pass the saved counter
+            self.calls = int(calls)

@@ -88,10 +88,12 @@ def audit_stages(cfg: VeonConfig, num_cams: int = 6) -> List[Stage]:
     """Per-stage forward work for the single-frame serving graph."""
     N = num_cams
     H, W = cfg.data.input_size                       # 512, 1408
-    # DA-V2 depth input after the lower-bound multiple-of-14 resize
-    dt = cfg.data.dav2_target
-    dh = dt
-    dw = ((dt * W // H) // 14) * 14                  # 252 -> 700
+    # DA-V2 depth input after the lower-bound multiple-of-14 resize — use
+    # the REAL pipeline sizing (a floored re-derivation here once read 686
+    # where the graph runs 700, under-counting the depth tower ~2%)
+    from ..data.transforms import dav2_size
+
+    dh, dw = dav2_size(H, W, cfg.data.dav2_target)   # 252 -> (252, 700)
     stages: List[Stage] = []
 
     # ---- depth tower --------------------------------------------------
