@@ -1000,8 +1000,19 @@ def _build_serve_handler(args):
 
 def cmd_export(args):
     """Serving export (`tools/convert_bevdet_to_TRT.py` counterpart): freeze
-    the flagship inference graph to a StableHLO artifact loadable without
-    model code (utils/export.py)."""
+    the inference graph to a StableHLO artifact loadable without model code
+    (utils/export.py). With --num-temporal > 1 the STREAMING serving step
+    is exported instead — the temporal cache rides as arguments, so any
+    consumer gets steady-state T_N cost by keeping the cache itself."""
+    if args.num_temporal > 1:
+        from ..utils.export import export_streaming
+
+        path = os.path.join(args.work_dir,
+                            f"veon_infer_t{args.num_temporal}.stablehlo")
+        path, _ = export_streaming(path, preset=args.preset,
+                                   num_temporal=args.num_temporal)
+        print("exported:", path)
+        return
     from ..utils.export import export_flagship
 
     path = os.path.join(args.work_dir, "veon_infer.stablehlo")

@@ -59,3 +59,58 @@ def export_flagship(path: str = "work_dir/veon_b_infer.stablehlo") -> str:
 
     fn, args = entry()
     return export_inference(fn, args, path)
+
+
+def export_streaming(path: str, preset: str = "veon_b",
+                     num_temporal: int = 2) -> Tuple[str, Any]:
+    """Export the STREAMING temporal serving step (num_temporal >= 2).
+
+    The artifact is the stateless function under serve/streaming.py's
+    TemporalSession: previous frames ride in as cached voxel features
+    (prev_vox, prev_lidarego2global arguments) and the cacheable early_vox
+    rides out — so ANY consumer (the python server, the native
+    serve_host.cpp, another process) gets the steady-state T_N serving
+    cost by keeping the cache itself. Argument order:
+      (variables, imgs, depth_imgs, metas, ovw, prev_vox, prev_l2g,
+       text_embed) -> dict(pred, retrieval, early_vox, ...).
+    Returns (path, example_args) so callers can save binding tensors.
+    """
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from ..cli.shapes import example_batch_full
+    from ..configs import presets
+    from ..model.veon import VeonModel
+    from ..nn import text as text_mod
+    from ..serve.streaming import TemporalSession
+
+    cfg = getattr(presets, preset)(num_temporal=num_temporal)
+    cfg = dataclasses.replace(
+        cfg, depth=dataclasses.replace(cfg.depth, use_lora=False))
+    model = VeonModel(cfg=cfg)
+    imgs, depth_imgs, metas = example_batch_full(cfg, B=1)
+    prompts, refl = text_mod.build_vocabulary(cfg.vocabulary)
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    ovw = jnp.asarray(rng.standard_normal(
+        (len(prompts) + 1, cfg.san.clip_embed_dim)).astype(np.float32))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(model.init, static_argnames=("train", "method"))(
+            jax.random.PRNGKey(0), imgs, depth_imgs, metas, ovw, train=False,
+            method=VeonModel.full_forward)
+    membership = text_mod.merge_matrix(refl)
+    sess = TemporalSession(model, variables, ovw, membership=membership,
+                           jit=False)
+    m1 = {k: metas[k][:, :1] for k in
+          ("sensor2egos", "ego2globals", "intrins", "post_rots",
+           "post_trans")}
+    m1["bda"] = metas["bda"]
+    m1["lidarego2global"] = metas["lidarego2global"]
+    prev_vox, prev_l2g = sess.state()
+    example = (variables, imgs[:, :1], depth_imgs[:, :1], m1, ovw,
+               prev_vox, prev_l2g, sess._zero_embed)
+    return export_inference(sess._fn, example, path), example
