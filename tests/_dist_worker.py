@@ -1,11 +1,21 @@
 """Worker for test_distributed: one process of a 2-process CPU 'cluster'.
 
 Run: python _dist_worker.py <process_id> <coordinator_port>
-Prints RESULT <value> on success; the value must agree across processes
-(it is a cross-process pmean, proving collectives ran over the runtime).
+Prints RESULT <value> (1D batch mesh pmean) and RESULT2 <value> (2D
+batch x cam mesh, camera-style CAM_AXIS2 leaf assembly) on success; the
+values must agree across processes (cross-process collectives over the
+runtime prove the bootstrap).
 """
 
+import os
 import sys
+
+# 2 virtual CPU devices per process: stage 2 builds a (2, 2) batch x cam
+# mesh across the 2-process cluster (each process owns one full mesh row,
+# i.e. one batch shard with BOTH cam shards — the layout the train CLI's
+# --cam-shards path produces with process-major device order)
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
 
 import jax
 
@@ -30,7 +40,7 @@ def main():
     assert jax.process_count() == 2
     assert process_shard() == (pid, 2)
     devices = jax.devices()
-    assert len(devices) == 2, devices  # 1 CPU device per process, global view
+    assert len(devices) == 4, devices  # 2 per process, global view
     mesh = Mesh(np.asarray(devices), ("batch",))
 
     def step(x, w):
@@ -39,15 +49,44 @@ def main():
 
     sm = jax.jit(shard_map(step, mesh=mesh, in_specs=(P("batch"), P()),
                            out_specs=P(), check_rep=False))
-    # global batch 2: this process contributes one row of (pid+1)s
-    x_local = np.full((1, 4), pid + 1.0, np.float32)
+    # global batch 4: this process contributes two rows of (pid+1)s
+    x_local = np.full((2, 4), pid + 1.0, np.float32)
     w = np.eye(4, dtype=np.float32)
     xg = host_local_batch(x_local, mesh, P("batch"))
-    assert xg.shape == (2, 4)  # global shape spans both processes
+    assert xg.shape == (4, 4)  # global shape spans both processes
     wg = host_local_batch(w, mesh, P())
     out = sm(xg, wg)
-    # row sums 4 and 8 -> pmean 6 on every process
+    # row sums 4,4 and 8,8 -> pmean 6 on every process
     print("RESULT", float(jax.device_get(out)), flush=True)
+
+    # ---- stage 2: 2D (batch x cam) mesh — the --cam-shards layout -------
+    # validates host_local_batch on a CAM_AXIS2-style leaf: global
+    # (B=2, F=1, N=4, k) sharded P("batch", None, "cam"); each process
+    # holds its batch row with the FULL camera axis (the loader's view)
+    mesh2 = Mesh(np.asarray(devices).reshape(2, 2), ("batch", "cam"))
+    B, F, N, k = 2, 1, 4, 3
+    # value encodes (batch row, camera) so wrong placement changes sums
+    local = (np.arange(N, dtype=np.float32).reshape(1, 1, N, 1)
+             + 10.0 * (pid + 1)) * np.ones((1, F, 1, k), np.float32)
+    spec = P("batch", None, "cam")
+    xg2 = host_local_batch(local, mesh2, spec)
+    assert xg2.shape == (B, F, N, k)
+
+    def step2(x):
+        # per-shard sum -> psum over cam (the lift-grid collective) ->
+        # pmean over batch (the DP gradient combine)
+        s = jnp.sum(x)
+        s = jax.lax.psum(s, "cam")
+        return jax.lax.pmean(s, "batch")
+
+    sm2 = jax.jit(shard_map(step2, mesh=mesh2, in_specs=(spec,),
+                            out_specs=P(), check_rep=False))
+    out2 = float(jax.device_get(sm2(xg2)))
+    # oracle: mean over the two batch rows of the full-camera row sum
+    want = float(np.mean([np.sum(np.arange(N) + 10.0 * (p + 1)) * k
+                          for p in range(2)]))
+    assert abs(out2 - want) < 1e-4, (out2, want)
+    print("RESULT2", out2, flush=True)
 
 
 if __name__ == "__main__":

@@ -60,7 +60,17 @@ def test_two_process_cpu_cluster():
         float(line.split()[1])
         for out in outs
         for line in out.splitlines()
-        if line.startswith("RESULT")
+        if line.startswith("RESULT ")
     ]
     # pmean of per-shard sums 4 and 8 -> 6, identical on both processes
     assert results == [6.0, 6.0], outs
+    # stage 2: 2D (batch x cam) mesh — CAM_AXIS2 leaf assembly + psum/pmean
+    # chain agrees with the host oracle on both processes (the multi-host
+    # leg of the --cam-shards training layout)
+    results2 = [
+        float(line.split()[1])
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("RESULT2 ")
+    ]
+    assert len(results2) == 2 and results2[0] == results2[1], outs
