@@ -20,6 +20,20 @@ os.environ["XLA_FLAGS"] = flags
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent XLA compilation cache for the CPU suite: the wall time is
+# dominated by ~a dozen distinct full-graph compiles on the single core;
+# warm re-runs load them from disk (~2.6x faster compiles measured:
+# tiny init 11.1 -> 4.2 s, apply 7.9 -> 2.9 s). Cache hits deserialize
+# AOT results with a benign machine-feature E-log (same box; the
+# "prefer-no-scatter/gather" entries are tuning prefs, not CPU features)
+# — pytest captures stderr, so passing runs stay quiet. NOTE: this is the
+# LOCAL CPU cache only; the remote TPU compile relay measures WORSE with
+# a persistent cache (NOTES.md) and is untouched here.
+if not os.environ.get("VEON_TESTS_NO_COMPILE_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/veon_tpu_xla_tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import functools  # noqa: E402
 
