@@ -18,6 +18,58 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(loaded(x, w)), np.asarray(fn(x, w)), rtol=1e-6)
 
 
+def test_export_native_bundle(tmp_path):
+    """The --native bundle is what native/serve_host.cpp actually consumes:
+    raw module.mlir (NOT the jax envelope), one bind npy per fixed leaf in
+    flattened positional order, request leaves listed but not bound, and a
+    manifest whose order length matches the module's entry arity."""
+    import json
+
+    import ml_dtypes
+
+    from veon_tpu.utils.export import export_native_bundle
+
+    def fn(params, x):
+        h = jnp.tanh(x @ params["w"].astype(jnp.float32))
+        return {"y": h + params["nest"]["b"], "n": jnp.sum(h)}
+
+    params = {
+        "w": jnp.asarray(np.random.default_rng(0)
+                         .standard_normal((8, 3)).astype(np.float32)
+                         .astype(ml_dtypes.bfloat16)),
+        "nest": {"b": jnp.zeros((3,), np.float32) + 0.5},
+    }
+    x = jnp.asarray(np.random.default_rng(1)
+                    .standard_normal((4, 8)).astype(np.float32))
+    out = export_native_bundle(fn, (params, x), str(tmp_path / "b"),
+                               arg_names=("params", "x"),
+                               request_args=("x",), out_names=("n", "y"))
+    man = json.load(open(f"{out}/manifest.json"))
+    # flatten order: dicts are key-sorted -> nest.b before w, then x
+    assert man["order"] == ["params.nest.b", "params.w", "x"]
+    assert man["request"] == ["x"]
+    assert sorted(man["binds"]) == ["params.nest.b", "params.w"]
+    assert man["outputs"] == ["n", "y"]
+    mlir = open(f"{out}/module.mlir").read()
+    assert "stablehlo." in mlir
+    assert mlir.count("tensor<") > 0 and "func.func public @main" in mlir
+    # the module entry takes exactly the manifest's positional args
+    main_sig = mlir[mlir.index("@main("):mlir.index("\n", mlir.index("@main("))]
+    assert main_sig.count("%arg") == len(man["order"])
+    # fixed leaves round-trip from disk: f32 via np.load, bf16 as <V2 bytes
+    b = np.load(f"{out}/bind/params.nest.b.npy")
+    np.testing.assert_array_equal(b, np.asarray(params["nest"]["b"]))
+    w = np.load(f"{out}/bind/params.w.npy")
+    assert w.dtype.str == "|V2" and w.shape == (8, 3)
+    np.testing.assert_array_equal(
+        w.view(np.uint16).reshape(8, 3),
+        np.asarray(params["w"]).view(np.uint16))
+    # request leaves are not bound
+    import os
+    assert not os.path.exists(f"{out}/bind/x.npy")
+    assert "--bind x=" not in man["serve_cmd"]
+
+
 def test_export_streaming_roundtrip(tmp_path):
     """The streaming temporal serving step exports and reloads: the loaded
     artifact (no model code) must reproduce the live session's first-call

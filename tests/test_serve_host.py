@@ -115,6 +115,85 @@ def test_echo_host_cpp_client(echo_host, tmp_path):
             proc.kill()
 
 
+def test_echo_host_survives_client_gone_midsend(echo_host, tmp_path):
+    """A client that disconnects before reading its (large) response must
+    not kill the daemon: send() hits EPIPE (MSG_NOSIGNAL in frame.h
+    send_all — default SIGPIPE would terminate the process), the server
+    drops that connection and keeps serving the next one."""
+    from veon_tpu.serve import TensorClient
+    from veon_tpu.serve.protocol import send_frame
+
+    sock = str(tmp_path / "gone.sock")
+    proc = subprocess.Popen([echo_host, sock, "--echo"],
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        _wait_socket(sock, proc)
+        import socket as socket_mod
+        for _ in range(3):  # repeat: EPIPE vs buffered-FIN timing races
+            s = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
+            s.connect(sock)
+            # 16 MB payload: the echoed response cannot fit any socket
+            # buffer, so the server's send_all is still writing when the
+            # peer is gone (RST after close-with-unread-data)
+            big = np.zeros((4 << 20,), np.float32)
+            send_frame(s, {"big": big})
+            s.close()  # vanish without reading the response
+        time.sleep(0.3)
+        assert proc.poll() is None, (
+            f"server died rc={proc.returncode}: {proc.stderr.read().decode()}")
+        with TensorClient(sock) as c:  # still serving
+            out = c.infer(x=np.float32(7.0))
+            assert float(np.asarray(out["x"]).reshape(-1)[0]) == 7.0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
+def test_echo_host_rejects_bad_dtype_and_bogus_dims(echo_host, tmp_path):
+    """Malformed frames (unknown dtype code, multi-GB dims product) must
+    close that connection — never desync into garbage or std::bad_alloc
+    the daemon (frame.h recv_frame validation). The server stays up."""
+    import socket as socket_mod
+    import struct
+
+    from veon_tpu.serve import TensorClient
+
+    sock = str(tmp_path / "bad.sock")
+    proc = subprocess.Popen([echo_host, sock, "--echo"],
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        _wait_socket(sock, proc)
+        frames = [
+            # dtype code 200 (unknown)
+            struct.pack("<IHHI", 0x56454F4E, 1, 0, 1)
+            + struct.pack("<H", 1) + b"x" + bytes([200, 1])
+            + struct.pack("<Q", 4),
+            # known dtype, dims product ~2**62 elements
+            struct.pack("<IHHI", 0x56454F4E, 1, 0, 1)
+            + struct.pack("<H", 1) + b"x" + bytes([0, 2])
+            + struct.pack("<QQ", 1 << 31, 1 << 31),
+        ]
+        for raw in frames:
+            s = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
+            s.connect(sock)
+            s.sendall(raw)
+            # server kills the connection: clean FIN (b"") if it consumed
+            # the stream, RST (ECONNRESET) if it closed with bytes pending
+            try:
+                assert s.recv(1) == b""
+            except ConnectionResetError:
+                pass
+            s.close()
+        assert proc.poll() is None, (
+            f"server died rc={proc.returncode}: {proc.stderr.read().decode()}")
+        with TensorClient(sock) as c:  # and still answers well-formed ones
+            out = c.infer(x=np.float32(1.5))
+            assert float(np.asarray(out["x"]).reshape(-1)[0]) == 1.5
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 def test_echo_host_usage_error(echo_host):
     r = subprocess.run([echo_host], capture_output=True, text=True,
                        timeout=30)

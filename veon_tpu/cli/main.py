@@ -1004,6 +1004,27 @@ def cmd_export(args):
     (utils/export.py). With --num-temporal > 1 the STREAMING serving step
     is exported instead — the temporal cache rides as arguments, so any
     consumer gets steady-state T_N cost by keeping the cache itself."""
+    if args.native:
+        # bundle for the zero-python consumers (native/serve_host.cpp,
+        # native/pjrt_runner.cpp): raw module.mlir + --bind npys + manifest
+        # with the flattened positional --order. The .stablehlo artifact
+        # below is jax.export's serialized envelope — the PJRT C API cannot
+        # compile it, hence this separate format.
+        from ..utils.export import (export_flagship_native,
+                                    export_streaming_native)
+
+        outdir = os.path.join(
+            args.work_dir,
+            f"veon_native_t{args.num_temporal}" if args.num_temporal > 1
+            else "veon_native")
+        if args.num_temporal > 1:
+            export_streaming_native(outdir, preset=args.preset,
+                                    num_temporal=args.num_temporal)
+        else:
+            export_flagship_native(outdir)
+        print("exported native bundle:", outdir,
+              "(see manifest.json serve_cmd)")
+        return
     if args.num_temporal > 1:
         from ..utils.export import export_streaming
 
@@ -1072,6 +1093,11 @@ def main(argv=None):
                             "(~tower/S + 3D stage)")
         p.add_argument("--socket", default="/tmp/veon_serve.sock",
                        help="serve: unix socket path")
+        p.add_argument("--native", action="store_true",
+                       help="export: emit the native-serving bundle "
+                            "(module.mlir + --bind npys + manifest) for "
+                            "veon_serve_host/veon_pjrt_runner instead of "
+                            "the jax .stablehlo envelope")
         p.add_argument("--raw-uint8", action="store_true",
                        help="serve: accept raw uint8 RGB frames and "
                             "normalize in-graph (4x less request transport)")

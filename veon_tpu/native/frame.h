@@ -43,7 +43,10 @@ inline size_t dtype_size(uint8_t code) {
 inline bool send_all(int fd, const void* buf, size_t n) {
   const char* p = static_cast<const char*>(buf);
   while (n) {
-    ssize_t w = ::send(fd, p, n, 0);
+    // MSG_NOSIGNAL: a peer that closed mid-response must surface as EPIPE
+    // (send_frame returns false, the serve loop drops the connection) —
+    // the default SIGPIPE would kill the long-lived serve_host daemon.
+    ssize_t w = ::send(fd, p, n, MSG_NOSIGNAL);
     if (w <= 0) return false;
     p += w;
     n -= static_cast<size_t>(w);
@@ -100,11 +103,24 @@ inline bool recv_frame(int fd, std::vector<Tensor>* out, uint16_t* status) {
     if (!recv_all(fd, t.name.data(), nlen)) return false;
     uint8_t ndim;
     if (!recv_all(fd, &t.dtype, 1) || !recv_all(fd, &ndim, 1)) return false;
+    // An unknown dtype (size 0) or an absurd element count would desync the
+    // stream / drive resize() into std::bad_alloc (uncaught -> the daemon
+    // dies). The stream is unrecoverable either way, so fail the frame and
+    // let the serve loop close the connection — the python server's
+    // per-connection ValueError equivalent. 1 GiB/tensor is ~75x the
+    // largest real frame (6-cam fp32 @ 512x1408).
+    const size_t esz = dtype_size(t.dtype);
+    if (esz == 0) return false;
     t.dims.resize(ndim);
     if (ndim && !recv_all(fd, t.dims.data(), 8 * ndim)) return false;
+    constexpr uint64_t kMaxBytes = 1ull << 30;
     uint64_t n = 1;
-    for (auto d : t.dims) n *= d;
-    t.data.resize(n * dtype_size(t.dtype));
+    for (auto d : t.dims) {
+      if (d != 0 && n > kMaxBytes / d) return false;
+      n *= d;
+    }
+    if (n * esz > kMaxBytes) return false;
+    t.data.resize(n * esz);
     if (!t.data.empty() && !recv_all(fd, t.data.data(), t.data.size()))
       return false;
     out->push_back(std::move(t));

@@ -94,7 +94,6 @@ struct PjrtHandler : Handler {
   std::vector<std::string> order;                 // positional arg names
   std::vector<std::string> out_names;             // response tensor names
   std::vector<PJRT_Buffer*> bound;                // per order slot or null
-  std::vector<PJRT_Buffer_Type> bound_types;      // parallel to `bound`
 
   std::string handle(const std::vector<vf::Tensor>& req,
                      std::vector<vf::Tensor>* resp) override {

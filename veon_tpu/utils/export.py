@@ -40,6 +40,98 @@ def export_mlir(fn, example_args, path: str) -> str:
     return path
 
 
+def _write_npy(path: str, arr) -> None:
+    """np.save, plus the one dtype numpy can't spell: bfloat16 leaves are
+    written with descr '<V2' (raw 2-byte void) — exactly what the native
+    reader maps back to protocol dtype 5 (native/frame.h parse_npy)."""
+    import numpy as np
+
+    arr = np.asarray(arr)
+    if arr.dtype.name != "bfloat16":
+        np.save(path, np.ascontiguousarray(arr))
+        return
+    shape = "(" + ",".join(str(d) for d in arr.shape) + ("," if arr.ndim == 1 else "") + ")"
+    hdr = ("{'descr': '<V2', 'fortran_order': False, 'shape': "
+           + shape + ", }")
+    total = 10 + len(hdr) + 1
+    hdr += " " * (((total + 63) // 64) * 64 - total) + "\n"
+    with open(path, "wb") as f:
+        f.write(b"\x93NUMPY\x01\x00")
+        f.write(len(hdr).to_bytes(2, "little"))
+        f.write(hdr.encode())
+        f.write(np.ascontiguousarray(arr).tobytes())
+
+
+def export_native_bundle(fn, example_args, outdir: str,
+                         arg_names: Tuple[str, ...],
+                         request_args: Tuple[str, ...] = (),
+                         out_names: Tuple[str, ...] = ()) -> str:
+    """Everything the NATIVE consumers (native/serve_host.cpp daemon,
+    native/pjrt_runner.cpp one-shot) need to serve the graph with zero
+    python in the loop:
+
+      <outdir>/module.mlir     raw StableHLO — the only format
+                               PJRT_Client_Compile accepts (the .stablehlo
+                               file from export_inference is jax.export's
+                               serialized envelope, NOT loadable by the
+                               C API)
+      <outdir>/bind/<leaf>.npy one file per FIXED positional leaf (params,
+                               rig metas, classifier, ...) for --bind
+      <outdir>/manifest.json   {"order": [flat leaf names, positional],
+                                "request": [per-request leaf names],
+                                "outputs": [...], "serve_cmd": "..."}
+
+    The exported module's entry point takes the PYTREE-FLATTENED leaves of
+    `example_args` as positional arguments; `arg_names` names each
+    top-level positional arg (leaf name = that name + the key path), and
+    every leaf under a name listed in `request_args` is expected in the
+    request frame instead of being bound from disk. Returns outdir.
+    """
+    import json
+
+    import jax
+    from jax import export as jexport
+
+    assert len(arg_names) == len(example_args), (arg_names, len(example_args))
+    exp = jexport.export(jax.jit(fn))(*example_args)
+    os.makedirs(os.path.join(outdir, "bind"), exist_ok=True)
+    with open(os.path.join(outdir, "module.mlir"), "w") as f:
+        f.write(exp.mlir_module())
+
+    def leaf_name(top: str, path) -> str:
+        import re
+
+        s = top + jax.tree_util.keystr(path)
+        s = "".join(c if (c.isalnum() or c in "._") else "." for c in s)
+        return re.sub(r"\.+", ".", s).strip(".")
+
+    order, request, binds = [], [], {}
+    for top, arg in zip(arg_names, example_args):
+        flat = jax.tree_util.tree_flatten_with_path(arg)[0]
+        for path, leaf in flat:
+            name = leaf_name(top, path)
+            assert "," not in name and name not in order, name
+            order.append(name)
+            if top in request_args:
+                request.append(name)
+            else:
+                _write_npy(os.path.join(outdir, "bind", name + ".npy"), leaf)
+                binds[name] = f"bind/{name}.npy"
+    assert len(order) == len(exp.in_avals), (len(order), len(exp.in_avals))
+    outputs = list(out_names) or [f"out{i}" for i in range(len(exp.out_avals))]
+    serve_cmd = ("veon_serve_host <socket> libtpu.so module.mlir --order "
+                 + ",".join(order) + " "
+                 + " ".join(f"--bind {n}={p}" for n, p in binds.items())
+                 + " --out " + ",".join(outputs))
+    with open(os.path.join(outdir, "manifest.json"), "w") as f:
+        json.dump({"order": order, "request": request, "binds": binds,
+                   "outputs": outputs,
+                   "in_shapes": [str(a) for a in exp.in_avals],
+                   "out_shapes": [str(a) for a in exp.out_avals],
+                   "serve_cmd": serve_cmd}, f, indent=1)
+    return outdir
+
+
 def load_inference(path: str):
     """Load a serialized inference artifact; returns a callable."""
     from jax import export as jexport
@@ -75,6 +167,49 @@ def export_streaming(path: str, preset: str = "veon_b",
        text_embed) -> dict(pred, retrieval, early_vox, ...).
     Returns (path, example_args) so callers can save binding tensors.
     """
+    fn, example, _, _ = _build_streaming(preset, num_temporal)
+    return export_inference(fn, example, path), example
+
+
+def export_streaming_native(outdir: str, preset: str = "veon_b",
+                            num_temporal: int = 2) -> str:
+    """Native-consumer bundle for the streaming step: module.mlir + bound
+    leaves (variables/rig metas/classifier) + manifest. The temporal cache
+    (prev_vox, prev_l2g) and the frame tensors ride in each request; the
+    response carries the outputs in the manifest's order, early_vox
+    included — the client echoes it back as next frame's prev_vox."""
+    fn, example, arg_names, request = _build_streaming(preset, num_temporal)
+    import jax
+
+    out = jax.eval_shape(fn, *example)  # name outputs by flatten order
+    out_names = ["".join(c if (c.isalnum() or c in "._") else ""
+                         for c in jax.tree_util.keystr(path))
+                 for path, _ in jax.tree_util.tree_flatten_with_path(out)[0]]
+    return export_native_bundle(fn, example, outdir, arg_names,
+                                request_args=request,
+                                out_names=tuple(out_names))
+
+
+def export_flagship_native(outdir: str) -> str:
+    """Native-consumer bundle for the single-frame flagship forward
+    (entry()): params/metas/classifier bound from disk, imgs + depth_imgs
+    per request, one fused occupancy output."""
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(0, root)
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    return export_native_bundle(
+        fn, args, outdir,
+        arg_names=("params", "imgs", "depth_imgs", "metas", "ovw"),
+        request_args=("imgs", "depth_imgs"), out_names=("pred",))
+
+
+def _build_streaming(preset: str, num_temporal: int):
+    """(fn, example_args, arg_names, request_arg_names) for the streaming
+    serving step — shared by the jax-envelope and native exporters."""
     import dataclasses
 
     import jax
@@ -113,4 +248,7 @@ def export_streaming(path: str, preset: str = "veon_b",
     prev_vox, prev_l2g = sess.state()
     example = (variables, imgs[:, :1], depth_imgs[:, :1], m1, ovw,
                prev_vox, prev_l2g, sess._zero_embed)
-    return export_inference(sess._fn, example, path), example
+    arg_names = ("variables", "imgs", "depth_imgs", "metas", "ovw",
+                 "prev_vox", "prev_l2g", "text_embed")
+    request = ("imgs", "depth_imgs", "prev_vox", "prev_l2g", "text_embed")
+    return sess._fn, example, arg_names, request
