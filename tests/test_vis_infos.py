@@ -117,6 +117,32 @@ def _write_tables(root, version="v1.0-mini"):
     dump("sample_data", sds)
 
 
+def test_create_infos_cli(tmp_path):
+    """`create-infos` subcommand (tools/create_data_bevdet.py counterpart):
+    val scenes from a one-per-line file, pickles written to the default
+    <data-root>/bevdetv2-nuscenes prefix, loadable by pickle."""
+    from veon_tpu.cli.main import main as cli_main
+
+    root = str(tmp_path)
+    _write_tables(root)
+    scenes_file = os.path.join(root, "val_scenes.txt")
+    with open(scenes_file, "w") as f:
+        f.write("scene-0002\n\n")
+    cli_main(["create-infos", "--data-root", root, "--version", "v1.0-mini",
+              "--val-scenes", scenes_file])
+    for split, n in (("train", 1), ("val", 1)):
+        with open(os.path.join(root,
+                               f"bevdetv2-nuscenes_infos_{split}.pkl"), "rb") as f:
+            data = pickle.load(f)
+        assert len(data["infos"]) == n, (split, data)
+    # comma-list form routes the same scene to val
+    cli_main(["create-infos", "--data-root", root, "--version", "v1.0-mini",
+              "--val-scenes", "scene-0001,scene-0002",
+              "--out-prefix", os.path.join(root, "allval")])
+    with open(os.path.join(root, "allval_infos_val.pkl"), "rb") as f:
+        assert len(pickle.load(f)["infos"]) == 2
+
+
 def test_create_infos_from_raw_tables(tmp_path):
     root = str(tmp_path)
     _write_tables(root)

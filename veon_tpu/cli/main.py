@@ -671,6 +671,30 @@ def _selftest_weights(args):
     return {"miou": miou}
 
 
+def cmd_create_infos(args):
+    """Info generation (`tools/create_data_bevdet.py` counterpart, devkit-
+    free): read the raw nuScenes JSON tables under <data-root>/<version>
+    and write <out-prefix>_infos_{train,val}.pkl in the layout every
+    dataset/loader here consumes. Scenes named by --val-scenes (comma list
+    or a file with one name per line — e.g. the official val split) go to
+    the val pickle; everything else trains."""
+    from ..data.create_infos import create_infos
+
+    val = []
+    if args.val_scenes:
+        if os.path.exists(args.val_scenes):
+            with open(args.val_scenes) as f:
+                val = [ln.strip() for ln in f if ln.strip()]
+        else:
+            val = [s for s in args.val_scenes.split(",") if s]
+    prefix = args.out_prefix or os.path.join(args.data_root,
+                                             "bevdetv2-nuscenes")
+    infos = create_infos(args.data_root, version=args.version,
+                         val_scene_names=val, out_prefix=prefix)
+    print(f"wrote {prefix}_infos_train.pkl ({len(infos['train'])} samples) "
+          f"and {prefix}_infos_val.pkl ({len(infos['val'])} samples)")
+
+
 def cmd_vis(args):
     """Occupancy visualization (`san_in_veon_entry_temporal.py:172-241`
     visualize + `nuscenes_dataset_occ.py:88-108` BEV vis): run prediction on
@@ -1098,6 +1122,16 @@ def main(argv=None):
                             "(module.mlir + --bind npys + manifest) for "
                             "veon_serve_host/veon_pjrt_runner instead of "
                             "the jax .stablehlo envelope")
+        p.add_argument("--version", default="v1.0-trainval",
+                       help="create-infos: nuScenes table version directory "
+                            "under --data-root")
+        p.add_argument("--val-scenes", default=None,
+                       help="create-infos: comma-separated scene names, or a "
+                            "file with one name per line, routed to the val "
+                            "split")
+        p.add_argument("--out-prefix", default=None,
+                       help="create-infos: output pickle prefix (default "
+                            "<data-root>/bevdetv2-nuscenes)")
         p.add_argument("--raw-uint8", action="store_true",
                        help="serve: accept raw uint8 RGB frames and "
                             "normalize in-graph (4x less request transport)")
@@ -1111,7 +1145,7 @@ def main(argv=None):
                      ("pretrain-depth", cmd_pretrain_depth),
                      ("benchmark", cmd_benchmark), ("selftest", cmd_selftest),
                      ("export", cmd_export), ("serve", cmd_serve),
-                     ("vis", cmd_vis)]:
+                     ("vis", cmd_vis), ("create-infos", cmd_create_infos)]:
         p = sub.add_parser(name)
         common(p)
         p.set_defaults(fn=fn)
