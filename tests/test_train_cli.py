@@ -394,3 +394,18 @@ def test_pretrain_depth_cli_end_to_end(tmp_path, monkeypatch):
           "--epochs", "1", "--work-dir", work])
     latest = find_latest(work)
     assert latest is not None, os.listdir(work)
+
+
+def test_benchmark_streaming_tiny():
+    """`benchmark --num-temporal 2` (benchmark_sequential.py counterpart):
+    the on-device sequential loop rolls the early-vox cache as the scan
+    carry and reports steady-state fps as one JSON-able dict."""
+    import argparse
+
+    from veon_tpu.cli.main import _benchmark_streaming
+
+    args = argparse.Namespace(preset="veon_tiny_test", num_temporal=2)
+    out = _benchmark_streaming(args, n_iters=2, outer=1)
+    assert out["metric"] == "veon_tiny_test_streaming_t2_frames_per_sec"
+    assert out["value"] > 0 and out["detail"]["ms_per_frame"] > 0
+    assert out["detail"]["device_loop_iters"] == 2

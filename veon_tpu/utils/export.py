@@ -174,18 +174,35 @@ def export_streaming(path: str, preset: str = "veon_b",
 def export_streaming_native(outdir: str, preset: str = "veon_b",
                             num_temporal: int = 2) -> str:
     """Native-consumer bundle for the streaming step: module.mlir + bound
-    leaves (variables/rig metas/classifier) + manifest. The temporal cache
-    (prev_vox, prev_l2g) and the frame tensors ride in each request; the
-    response carries the outputs in the manifest's order, early_vox
-    included — the client echoes it back as next frame's prev_vox."""
-    fn, example, arg_names, request = _build_streaming(preset, num_temporal)
+    leaves (variables / fixed-rig metas incl. the presorted lift streams /
+    classifier) + manifest. Per-request: the frame tensors, the frame's
+    `lidarego2global` ego pose (split out of the rig — it changes every
+    frame, so binding it from disk would freeze the car in place), and the
+    temporal cache (prev_vox, prev_l2g); the response carries the outputs
+    in the manifest's order, early_vox included — the client echoes it back
+    as next frame's prev_vox."""
     import jax
 
-    out = jax.eval_shape(fn, *example)  # name outputs by flatten order
+    fn, example, _, _ = _build_streaming(preset, num_temporal)
+    variables, imgs, depth_imgs, m1, ovw, prev_vox, prev_l2g, te = example
+    rig = {k: v for k, v in m1.items() if k != "lidarego2global"}
+    l2g = m1["lidarego2global"]
+
+    def step(variables, imgs, depth_imgs, rig, l2g, ovw, pv, pl, te):
+        return fn(variables, imgs, depth_imgs,
+                  dict(rig, lidarego2global=l2g), ovw, pv, pl, te)
+
+    example = (variables, imgs, depth_imgs, rig, l2g, ovw,
+               prev_vox, prev_l2g, te)
+    arg_names = ("variables", "imgs", "depth_imgs", "rig", "lidarego2global",
+                 "ovw", "prev_vox", "prev_l2g", "text_embed")
+    request = ("imgs", "depth_imgs", "lidarego2global", "prev_vox",
+               "prev_l2g", "text_embed")
+    out = jax.eval_shape(step, *example)  # name outputs by flatten order
     out_names = ["".join(c if (c.isalnum() or c in "._") else ""
                          for c in jax.tree_util.keystr(path))
                  for path, _ in jax.tree_util.tree_flatten_with_path(out)[0]]
-    return export_native_bundle(fn, example, outdir, arg_names,
+    return export_native_bundle(step, example, outdir, arg_names,
                                 request_args=request,
                                 out_names=tuple(out_names))
 
@@ -207,9 +224,11 @@ def export_flagship_native(outdir: str) -> str:
         request_args=("imgs", "depth_imgs"), out_names=("pred",))
 
 
-def _build_streaming(preset: str, num_temporal: int):
+def _build_streaming(preset: str, num_temporal: int,
+                     compute_dtype: Optional[str] = None):
     """(fn, example_args, arg_names, request_arg_names) for the streaming
-    serving step — shared by the jax-envelope and native exporters."""
+    serving step — shared by the jax-envelope exporter, the native-bundle
+    exporter, and the sequential benchmark (cli.main._benchmark_streaming)."""
     import dataclasses
 
     import jax
@@ -221,7 +240,10 @@ def _build_streaming(preset: str, num_temporal: int):
     from ..nn import text as text_mod
     from ..serve.streaming import TemporalSession
 
-    cfg = getattr(presets, preset)(num_temporal=num_temporal)
+    kwargs = {"num_temporal": num_temporal}
+    if compute_dtype is not None:
+        kwargs["compute_dtype"] = compute_dtype
+    cfg = getattr(presets, preset)(**kwargs)
     cfg = dataclasses.replace(
         cfg, depth=dataclasses.replace(cfg.depth, use_lora=False))
     model = VeonModel(cfg=cfg)
@@ -245,6 +267,22 @@ def _build_streaming(preset: str, num_temporal: int):
            "post_trans")}
     m1["bda"] = metas["bda"]
     m1["lidarego2global"] = metas["lidarego2global"]
+    # serving is fixed-rig: precompute the lift's rank sort once (the serve
+    # CLI does the same, cli/main.py cmd_serve) — without it the exported /
+    # benchmarked step pays the in-graph rank argsort every frame, which is
+    # pathologically slow on TPU (XLA sort at ~1.1M keys; measured 4.4 s vs
+    # 190 ms per streaming frame on v5e)
+    from ..geometry.frustum import sensor2keyego_chain
+    from ..lift.lss import LSSLift
+
+    F, N = metas["intrins"].shape[1:3]
+    s2k = sensor2keyego_chain(
+        metas["sensor2egos"].reshape(1, -1, 4, 4),
+        metas["ego2globals"].reshape(1, -1, 4, 4), F, N)
+    lift = LSSLift.from_config(cfg)
+    m1["lift_sorted"] = lift.precompute_sorted(
+        s2k[:, 0], metas["intrins"][:, 0], metas["post_rots"][:, 0],
+        metas["post_trans"][:, 0], metas["bda"])
     prev_vox, prev_l2g = sess.state()
     example = (variables, imgs[:, :1], depth_imgs[:, :1], m1, ovw,
                prev_vox, prev_l2g, sess._zero_embed)
