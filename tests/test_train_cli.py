@@ -409,3 +409,44 @@ def test_benchmark_streaming_tiny():
     assert out["metric"] == "veon_tiny_test_streaming_t2_frames_per_sec"
     assert out["value"] > 0 and out["detail"]["ms_per_frame"] > 0
     assert out["detail"]["device_loop_iters"] == 2
+
+
+def test_publish_checkpoint(tmp_path):
+    """publish (tools/model_converters/publish_model.py counterpart):
+    training state strips to {params, batch_stats}, the output dir is
+    stamped with a deterministic content hash, and --ema publishes the
+    EMA shadow as the weights."""
+    import glob
+
+    from veon_tpu.ckpt.io import (load_checkpoint, publish_checkpoint,
+                                  save_checkpoint)
+
+    state = {
+        "params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        "batch_stats": {"bn": {"mean": np.zeros(3, np.float32)}},
+        "ema_params": {"w": np.ones((2, 3), np.float32)},
+        "ema_batch_stats": {"bn": {"mean": np.ones(3, np.float32)}},
+        "opt_state": {"mu": {"w": np.full((2, 3), 7.0, np.float32)}},
+        "step": np.int32(5),
+        "ema_updates": np.float32(3.0),
+    }
+    path = save_checkpoint(str(tmp_path / "ckpt"), 5, state)
+    out = publish_checkpoint(path, str(tmp_path / "pub"), ema=False)
+    assert len(out.rsplit("-", 1)[1]) == 8
+    pub = load_checkpoint(out)
+    assert set(pub) == {"params", "batch_stats"}
+    np.testing.assert_array_equal(pub["params"]["w"], state["params"]["w"])
+    out_ema = publish_checkpoint(path, str(tmp_path / "pub_ema"), ema=True)
+    np.testing.assert_array_equal(load_checkpoint(out_ema)["params"]["w"],
+                                  np.ones((2, 3), np.float32))
+    # content hash: differs across different weights, stable across re-runs
+    assert out.rsplit("-", 1)[1] != out_ema.rsplit("-", 1)[1]
+    out2 = publish_checkpoint(path, str(tmp_path / "again" / "pub"),
+                              ema=False)
+    assert out2.rsplit("-", 1)[1] == out.rsplit("-", 1)[1]
+    # CLI wrapper
+    from veon_tpu.cli.main import main as cli_main
+
+    cli_main(["publish", "--ckpt", path,
+              "--out-prefix", str(tmp_path / "pub2")])
+    assert glob.glob(str(tmp_path / "pub2-*"))

@@ -56,6 +56,35 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
                                    restore_args=restore_args)
 
 
+def publish_checkpoint(path: str, out_path: str, ema: bool = False) -> str:
+    """Publish-ready checkpoint (`tools/model_converters/publish_model.py`
+    counterpart): strip the training-only leaves (optimizer state, EMA
+    shadow, counters) down to {params, batch_stats}, save, and stamp the
+    directory name with the first 8 hex chars of a deterministic SHA-256
+    over the saved tree (leaf paths + raw array bytes — the content hash
+    the reference derives from the .pth file). With ema=True the EMA
+    shadow is published AS the params (the reference's epoch_N_ema.pth).
+    Returns the final '<out_path>-<sha8>' directory."""
+    import hashlib
+
+    state = load_checkpoint(path)
+    pub = {
+        "params": state["ema_params" if ema else "params"],
+        "batch_stats": state["ema_batch_stats" if ema else "batch_stats"],
+    }
+    h = hashlib.sha256()
+    for kp, leaf in sorted(
+            jax.tree_util.tree_flatten_with_path(pub)[0],
+            key=lambda kv: jax.tree_util.keystr(kv[0])):
+        arr = np.asarray(leaf)
+        h.update(jax.tree_util.keystr(kp).encode())
+        h.update(str(arr.dtype).encode() + str(arr.shape).encode())
+        h.update(np.ascontiguousarray(arr).tobytes())
+    final = f"{os.path.abspath(out_path).rstrip(os.sep)}-{h.hexdigest()[:8]}"
+    _checkpointer().save(final, pub, force=True)
+    return final
+
+
 def find_latest(directory: str) -> Optional[str]:
     """mmcv find_latest_checkpoint equivalent for --auto-resume."""
     steps = list_checkpoints(directory)

@@ -287,6 +287,13 @@ def cmd_test(args):
     )
     if args.ckpt:
         state = load_checkpoint(args.ckpt)
+        if args.ema and "ema_params" not in state:
+            # published checkpoints (ckpt.io.publish_checkpoint) are already
+            # stripped to the chosen weights under plain params/batch_stats
+            raise SystemExit(
+                "--ema with a published checkpoint: the EMA shadow was "
+                "either already published as params (publish --ema) or "
+                "stripped — drop the --ema flag")
         variables = {"params": state["ema_params" if args.ema else "params"],
                      "batch_stats": state["ema_batch_stats" if args.ema else "batch_stats"]}
     if getattr(args, "fuse_conv_bn", False):
@@ -735,6 +742,20 @@ def _selftest_weights(args):
           "(structural check — run `test --ann <val infos>` for the real "
           "Occ3D number)")
     return {"miou": miou}
+
+
+def cmd_publish(args):
+    """Checkpoint publishing (`tools/model_converters/publish_model.py`
+    counterpart): strip a training checkpoint to inference weights and
+    content-hash-stamp the output name. --ema publishes the EMA shadow as
+    the weights (the reference's epoch_N_ema.pth release flavor)."""
+    from ..ckpt.io import publish_checkpoint
+
+    if not args.ckpt or not args.out_prefix:
+        raise SystemExit("publish needs --ckpt <step dir> and "
+                         "--out-prefix <output path>")
+    final = publish_checkpoint(args.ckpt, args.out_prefix, ema=args.ema)
+    print("published:", final)
 
 
 def cmd_create_infos(args):
@@ -1211,7 +1232,8 @@ def main(argv=None):
                      ("pretrain-depth", cmd_pretrain_depth),
                      ("benchmark", cmd_benchmark), ("selftest", cmd_selftest),
                      ("export", cmd_export), ("serve", cmd_serve),
-                     ("vis", cmd_vis), ("create-infos", cmd_create_infos)]:
+                     ("vis", cmd_vis), ("create-infos", cmd_create_infos),
+                     ("publish", cmd_publish)]:
         p = sub.add_parser(name)
         common(p)
         p.set_defaults(fn=fn)
