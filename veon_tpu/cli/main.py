@@ -1039,7 +1039,11 @@ def _build_serve_handler(args):
                 jnp.asarray(req["imgs"]), jnp.asarray(req["depth_imgs"]),
                 {"lidarego2global": jnp.asarray(req["lidarego2global"])},
                 text_embed=te)
-            resp = {"pred": np.asarray(out["pred"])}
+            # uint8 on the wire: 18 classes fit, and the class grid is
+            # the response's dominant payload (4x less readback/transport —
+            # measured 140 ms of the 345 ms per-call serving cost at T4 is
+            # output transport on the tunneled chip)
+            resp = {"pred": np.asarray(out["pred"]).astype(np.uint8)}
             if want_retr:
                 resp["retrieval"] = np.asarray(out["retrieval"])
             return resp
@@ -1096,7 +1100,7 @@ def _build_serve_handler(args):
             te, want_retr = request_embed(req)
             pred, retr = jit_fn(variables, jnp.asarray(req["imgs"]),
                                 jnp.asarray(req["depth_imgs"]), metas, ovw, te)
-            resp = {"pred": np.asarray(pred)}
+            resp = {"pred": np.asarray(pred).astype(np.uint8)}
             if want_retr:
                 resp["retrieval"] = np.asarray(retr)
             return resp
