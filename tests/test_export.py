@@ -83,7 +83,7 @@ def test_export_streaming_roundtrip(tmp_path):
     loaded = load_inference(path)
     out = loaded(*example)
     variables, imgs, depth_imgs, m1, ovw, prev_vox, prev_l2g, te = example
-    assert out["pred"].dtype in (np.int32, jnp.int32)
+    assert out["pred"].dtype in (np.uint8, jnp.uint8)  # wire-size: 4x less
     # early_vox must slot back into prev_vox[:, 0] for the next call
     assert out["early_vox"].shape == tuple(prev_vox.shape[:1]) + tuple(
         prev_vox.shape[2:])

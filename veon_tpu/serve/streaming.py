@@ -95,7 +95,12 @@ class TemporalSession:
             if membership is not None:
                 merged = text_mod.merge_classes_max(
                     out["sem_occ_raw"], membership, axis=-1)
-                out = dict(out, pred=fusion_rule(merged, out["bin_occ"]))
+                # uint8 in-graph: 18 classes fit, and the class grid is the
+                # response's dominant payload for every consumer of this
+                # step — the python session, the exported envelope, and the
+                # native daemon all ship 4x fewer output bytes
+                out = dict(out, pred=fusion_rule(
+                    merged, out["bin_occ"]).astype(jnp.uint8))
             # free-text retrieval rides along inside the jit (fused with the
             # feat head — no extra feat_occ materialization); a zero
             # embedding yields an all-zero map via the eps guard
