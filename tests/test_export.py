@@ -107,3 +107,27 @@ def test_export_streaming_roundtrip(tmp_path):
     for k in live:
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(live[k]),
                                    rtol=2e-5, atol=2e-6, err_msg=k)
+
+
+def test_benchmark_artifact_tiny(tmp_path):
+    """`benchmark --artifact` (benchmark_trt.py counterpart): a serialized
+    artifact is deserialized, fed synthetic inputs at its frozen shapes
+    (mixed float/int leaves), and timed on device."""
+    import argparse
+
+    from veon_tpu.cli.main import _benchmark_artifact
+    from veon_tpu.utils.export import export_inference
+
+    def fn(w, x, n):
+        return {"y": jnp.tanh(x @ w) + n.astype(jnp.float32).sum(),
+                "cls": jnp.argmax(x, -1).astype(jnp.uint8)}
+
+    w = jnp.asarray(np.random.default_rng(0).standard_normal((6, 4)),
+                    jnp.float32)
+    x = jnp.ones((3, 6), jnp.float32)
+    n = jnp.zeros((2,), jnp.int32)
+    path = export_inference(fn, (w, x, n), str(tmp_path / "tiny.stablehlo"))
+    out = _benchmark_artifact(
+        argparse.Namespace(artifact=path), n_iters=2, outer=1)
+    assert out["metric"] == "tiny_artifact_frames_per_sec"
+    assert out["value"] > 0 and out["detail"]["n_inputs"] == 3

@@ -545,6 +545,9 @@ def cmd_pretrain_depth(args):
 
 
 def cmd_benchmark(args):
+    if getattr(args, "artifact", None):
+        print(json.dumps(_benchmark_artifact(args)))
+        return
     if args.num_temporal > 1:
         print(json.dumps(_benchmark_streaming(args)))
         return
@@ -553,6 +556,69 @@ def cmd_benchmark(args):
     import bench
 
     bench.main()
+
+
+def _benchmark_artifact(args, n_iters: int = 10, outer: int = 3):
+    """Deployed-artifact benchmark (`tools/analysis_tools/benchmark_trt.py`
+    counterpart): time the EXPORTED StableHLO inference artifact itself —
+    what actually ships — not the live model. The artifact is deserialized
+    without any model code, fed synthetic inputs at its frozen shapes, and
+    timed with the bench.py on-device protocol (lax.scan around the loaded
+    call, per-iteration float-input perturbation against CSE, one scalar
+    readback)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    with open(args.artifact, "rb") as f:
+        exp = jexport.deserialize(f.read())
+    rng = np.random.default_rng(0)
+    dev = jax.devices()[0]
+    leaves = [
+        jax.device_put(
+            jnp.asarray(rng.standard_normal(a.shape) * 0.01, a.dtype)
+            if jnp.issubdtype(a.dtype, jnp.inexact)
+            else jnp.zeros(a.shape, a.dtype), dev)
+        for a in exp.in_avals
+    ]
+    eps = jnp.linspace(0.0, 1e-3, n_iters)
+
+    @jax.jit
+    def many(*leaves):
+        def body(acc, e):
+            pert = [l + e.astype(l.dtype)
+                    if jnp.issubdtype(l.dtype, jnp.inexact) else l
+                    for l in leaves]
+            a, kw = jax.tree_util.tree_unflatten(exp.in_tree, pert)
+            out = exp.call(*a, **kw)
+            s = sum(jnp.sum(o).astype(jnp.float32)
+                    for o in jax.tree_util.tree_leaves(out))
+            return acc + s, None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), eps)
+        return acc
+
+    t0 = time.perf_counter()
+    float(many(*leaves))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(outer):
+        t0 = time.perf_counter()
+        float(many(*leaves))
+        times.append(time.perf_counter() - t0)
+    per = sorted(times)[len(times) // 2] / n_iters
+    name = os.path.splitext(os.path.basename(args.artifact))[0]
+    return {
+        "metric": f"{name}_artifact_frames_per_sec",
+        "value": round(1.0 / per, 3),
+        "unit": "frames/s",
+        "detail": {"ms_per_frame": round(per * 1e3, 2),
+                   "n_inputs": len(leaves),
+                   "device_loop_iters": n_iters,
+                   "compile_s": round(compile_s, 1)},
+    }
 
 
 def _benchmark_streaming(args, n_iters: int = 10, outer: int = 3):
@@ -1209,6 +1275,9 @@ def main(argv=None):
                             "(~tower/S + 3D stage)")
         p.add_argument("--socket", default="/tmp/veon_serve.sock",
                        help="serve: unix socket path")
+        p.add_argument("--artifact", default=None,
+                       help="benchmark: time an exported .stablehlo artifact "
+                            "(the deployed graph) instead of the live model")
         p.add_argument("--native", action="store_true",
                        help="export: emit the native-serving bundle "
                             "(module.mlir + --bind npys + manifest) for "
