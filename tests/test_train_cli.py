@@ -450,3 +450,18 @@ def test_publish_checkpoint(tmp_path):
     cli_main(["publish", "--ckpt", path,
               "--out-prefix", str(tmp_path / "pub2")])
     assert glob.glob(str(tmp_path / "pub2-*"))
+
+
+def test_list_checkpoints_range(tmp_path):
+    """--sweep-from/--sweep-to (dist_test_all.sh $start/$end counterpart):
+    list_checkpoints bounds the sweep by step."""
+    from veon_tpu.ckpt.io import list_checkpoints
+
+    for n in (5, 10, 15, 20):
+        os.makedirs(tmp_path / f"step_{n}")
+    (tmp_path / "step_bogus").mkdir()
+    allsteps = [s for s, _ in list_checkpoints(str(tmp_path))]
+    assert allsteps == [5, 10, 15, 20]
+    assert [s for s, _ in list_checkpoints(str(tmp_path), min_step=10)] == [10, 15, 20]
+    assert [s for s, _ in list_checkpoints(str(tmp_path), max_step=15)] == [5, 10, 15]
+    assert [s for s, _ in list_checkpoints(str(tmp_path), 10, 15)] == [10, 15]

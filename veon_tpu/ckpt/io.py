@@ -93,9 +93,11 @@ def find_latest(directory: str) -> Optional[str]:
     return steps[-1][1]
 
 
-def list_checkpoints(directory: str):
+def list_checkpoints(directory: str, min_step: Optional[int] = None,
+                     max_step: Optional[int] = None):
     """All step_<n> checkpoints under directory, sorted by step — the
-    `tools/dist_test_all.sh` epoch-sweep enumeration."""
+    `tools/dist_test_all.sh` epoch-sweep enumeration; min/max_step bound
+    the sweep like the script's $start_epoch/$end_epoch arguments."""
     if not os.path.isdir(directory):
         return []
     steps = []
@@ -106,4 +108,6 @@ def list_checkpoints(directory: str):
                               os.path.join(directory, name)))
             except ValueError:
                 pass
-    return sorted(steps)
+    return sorted(s for s in steps
+                  if (min_step is None or s[0] >= min_step)
+                  and (max_step is None or s[0] <= max_step))

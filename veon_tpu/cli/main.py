@@ -327,11 +327,15 @@ def cmd_test(args):
     loader = DataLoader(ds, batch_size=1, shuffle=False, num_workers=args.workers,
                         drop_last=False)
     if getattr(args, "all_ckpts", False):
-        # dist_test_all.sh counterpart: sweep every checkpoint in work_dir
+        # dist_test_all.sh counterpart: sweep checkpoints in work_dir —
+        # optionally only the [$start, $end] step range, like the
+        # reference's `dist_test_all.sh <cfg> <folder> <n> $start $end`
         from ..ckpt.io import list_checkpoints
 
         sweep = {}
-        for step_n, path in list_checkpoints(args.work_dir):
+        for step_n, path in list_checkpoints(
+                args.work_dir, min_step=getattr(args, "sweep_from", None),
+                max_step=getattr(args, "sweep_to", None)):
             state = load_checkpoint(path)
             variables = {
                 "params": state["ema_params" if args.ema else "params"],
@@ -1275,6 +1279,12 @@ def main(argv=None):
                             "(~tower/S + 3D stage)")
         p.add_argument("--socket", default="/tmp/veon_serve.sock",
                        help="serve: unix socket path")
+        p.add_argument("--sweep-from", type=int, default=None,
+                       help="test --all-ckpts: skip checkpoints below this "
+                            "step (dist_test_all.sh $start counterpart)")
+        p.add_argument("--sweep-to", type=int, default=None,
+                       help="test --all-ckpts: skip checkpoints above this "
+                            "step ($end counterpart)")
         p.add_argument("--artifact", default=None,
                        help="benchmark: time an exported .stablehlo artifact "
                             "(the deployed graph) instead of the live model")
