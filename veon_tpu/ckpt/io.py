@@ -68,6 +68,10 @@ def publish_checkpoint(path: str, out_path: str, ema: bool = False) -> str:
     import hashlib
 
     state = load_checkpoint(path)
+    if ema and "ema_params" not in state:
+        raise ValueError(
+            f"{path} carries no EMA shadow (already published / stripped) — "
+            "publish without ema=True")
     pub = {
         "params": state["ema_params" if ema else "params"],
         "batch_stats": state["ema_batch_stats" if ema else "batch_stats"],

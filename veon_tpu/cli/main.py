@@ -640,9 +640,11 @@ def _benchmark_streaming(args, n_iters: int = 10, outer: int = 3):
     from ..utils.export import _build_streaming
 
     dtype = os.environ.get("VEON_ENTRY_DTYPE", "bfloat16")
-    fn, example, _, _ = _build_streaming(
+    if args.preset == "veon_tiny_test":  # tiny preset owns its dtype knob
+        dtype = "preset-default"
+    fn, example = _build_streaming(
         args.preset, args.num_temporal,
-        compute_dtype=None if args.preset == "veon_tiny_test" else dtype)
+        compute_dtype=None if dtype == "preset-default" else dtype)
     # _build_streaming inits variables on HOST CPU (uncommitted) — commit
     # everything to the accelerator once, or every timed call re-uploads
     # the whole parameter tree (measured: 51 s/call through the tunnel vs
@@ -842,6 +844,12 @@ def cmd_create_infos(args):
         if os.path.exists(args.val_scenes):
             with open(args.val_scenes) as f:
                 val = [ln.strip() for ln in f if ln.strip()]
+        elif os.sep in args.val_scenes or args.val_scenes.endswith(".txt"):
+            # looks like a file path, not a scene list: a typo'd path must
+            # not silently become a one-item list that routes everything
+            # to train
+            raise SystemExit(
+                f"--val-scenes file not found: {args.val_scenes}")
         else:
             val = [s for s in args.val_scenes.split(",") if s]
     prefix = args.out_prefix or os.path.join(args.data_root,
@@ -964,8 +972,6 @@ def _build_serve_handler(args):
     import jax
     import jax.numpy as jnp
 
-    from ..geometry.frustum import sensor2keyego_chain
-    from ..lift.lss import LSSLift
     from ..model.veon import VeonModel, fusion_rule, retrieval_map
     from ..nn import text as text_mod
     from ..cli.shapes import example_batch_full
@@ -1011,7 +1017,6 @@ def _build_serve_handler(args):
                 jnp.asarray(req["text_tokens"], jnp.int32))[0], True
         return zero_embed, False
     imgs, depth_imgs, metas = example_batch_full(cfg, B=1)
-    F, N = cfg.num_temporal, cfg.data.num_cams
 
     # --raw-uint8: clients send raw uint8 HWC RGB frames (4x less transport
     # — 16 MB instead of 65 MB per 6-camera frame) and the normalizers run
@@ -1040,15 +1045,12 @@ def _build_serve_handler(args):
                     f"mode (expected {np.dtype(want)})")
 
     # serving is fixed-rig: precompute the lift's rank sort once
-    # (accelerate mode, view_transformer_raw.py:196-215)
-    s2k = sensor2keyego_chain(
-        metas["sensor2egos"].reshape(1, -1, 4, 4),
-        metas["ego2globals"].reshape(1, -1, 4, 4), F, N)
-    lift = LSSLift.from_config(cfg)
+    # (accelerate mode, view_transformer_raw.py:196-215; shared recipe
+    # with the streaming exporters/benchmark, lift/lss.py)
+    from ..lift.lss import precompute_rig_sorted
+
     metas = dict(metas)
-    metas["lift_sorted"] = lift.precompute_sorted(
-        s2k[:, 0], metas["intrins"][:, 0], metas["post_rots"][:, 0],
-        metas["post_trans"][:, 0], metas["bda"])
+    metas["lift_sorted"] = precompute_rig_sorted(cfg, metas)
 
     # --cam-shards: camera-sharded serving (serve/camshard.py) — towers on
     # a ("cam",) mesh, one full-res grid psum, replicated 3D stage; the
@@ -1207,6 +1209,14 @@ def cmd_export(args):
             export_streaming_native(outdir, preset=args.preset,
                                     num_temporal=args.num_temporal)
         else:
+            if args.preset != "veon_b":
+                # the single-frame flagship bundle is the veon_b entry()
+                # graph; silently shipping veon_b under another label would
+                # produce a daemon that rejects the user's request shapes
+                raise SystemExit(
+                    "export --native without --num-temporal exports the "
+                    "veon_b flagship graph only; use --num-temporal > 1 "
+                    "for preset-parameterized streaming bundles")
             export_flagship_native(outdir)
         print("exported native bundle:", outdir,
               "(see manifest.json serve_cmd)")

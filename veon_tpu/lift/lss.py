@@ -425,3 +425,24 @@ class LSSLift:
             self.spray_cap,
         )
         return self._ds_pool(vox)
+
+
+def precompute_rig_sorted(cfg, metas, frame: int = 0):
+    """Fixed-rig presorted lift streams from standard (B,F,N,...) metas —
+    the shared serving/export recipe (view_transformer_raw.py:196-215
+    accelerate-mode counterpart). Runs OUTSIDE jit; the returned dict rides
+    through jit boundaries as an ordinary argument (`metas["lift_sorted"]`).
+    Used by cmd_serve, the streaming exporters, and the sequential
+    benchmark — without it the in-graph rank argsort path costs ~4.4 s vs
+    ~190 ms per streaming frame on v5e (NOTES.md round-3)."""
+    from ..geometry.frustum import sensor2keyego_chain
+
+    F, N = metas["intrins"].shape[1:3]
+    s2k = sensor2keyego_chain(
+        jnp.reshape(metas["sensor2egos"], (-1, F * N, 4, 4)),
+        jnp.reshape(metas["ego2globals"], (-1, F * N, 4, 4)), F, N)
+    lift = LSSLift.from_config(cfg)
+    return lift.precompute_sorted(
+        s2k[:, frame], metas["intrins"][:, frame],
+        metas["post_rots"][:, frame], metas["post_trans"][:, frame],
+        metas["bda"])

@@ -40,6 +40,13 @@ inline size_t dtype_size(uint8_t code) {
   return 0;
 }
 
+#ifndef MSG_NOSIGNAL
+// macOS/BSD have no MSG_NOSIGNAL; the daemon fix below is Linux-targeted,
+// and this keeps the header's plain-POSIX promise for the client build
+// (those platforms can set SO_NOSIGPIPE on the socket instead).
+#define MSG_NOSIGNAL 0
+#endif
+
 inline bool send_all(int fd, const void* buf, size_t n) {
   const char* p = static_cast<const char*>(buf);
   while (n) {
@@ -93,8 +100,16 @@ inline bool recv_frame(int fd, std::vector<Tensor>* out, uint16_t* status) {
   } hdr;
   if (!recv_all(fd, &hdr, sizeof hdr)) return false;
   if (hdr.magic != kMagic || hdr.version != kVersion) return false;
+  // tensor-count and whole-frame caps: without them a malicious header
+  // (count up to 2^32) could drive cumulative resize()s to many GiB even
+  // with the per-tensor cap below. Real frames carry <10 tensors and
+  // <200 MB total.
+  constexpr uint32_t kMaxTensors = 64;
+  constexpr uint64_t kMaxFrameBytes = 2ull << 30;
+  if (hdr.count > kMaxTensors) return false;
   *status = hdr.status;
   out->clear();
+  uint64_t frame_bytes = 0;
   for (uint32_t i = 0; i < hdr.count; ++i) {
     Tensor t;
     uint16_t nlen;
@@ -120,6 +135,8 @@ inline bool recv_frame(int fd, std::vector<Tensor>* out, uint16_t* status) {
       n *= d;
     }
     if (n * esz > kMaxBytes) return false;
+    frame_bytes += n * esz;
+    if (frame_bytes > kMaxFrameBytes) return false;
     t.data.resize(n * esz);
     if (!t.data.empty() && !recv_all(fd, t.data.data(), t.data.size()))
       return false;

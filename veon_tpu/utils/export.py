@@ -167,7 +167,7 @@ def export_streaming(path: str, preset: str = "veon_b",
        text_embed) -> dict(pred, retrieval, early_vox, ...).
     Returns (path, example_args) so callers can save binding tensors.
     """
-    fn, example, _, _ = _build_streaming(preset, num_temporal)
+    fn, example = _build_streaming(preset, num_temporal)
     return export_inference(fn, example, path), example
 
 
@@ -183,7 +183,7 @@ def export_streaming_native(outdir: str, preset: str = "veon_b",
     as next frame's prev_vox."""
     import jax
 
-    fn, example, _, _ = _build_streaming(preset, num_temporal)
+    fn, example = _build_streaming(preset, num_temporal)
     variables, imgs, depth_imgs, m1, ovw, prev_vox, prev_l2g, te = example
     rig = {k: v for k, v in m1.items() if k != "lidarego2global"}
     l2g = m1["lidarego2global"]
@@ -199,9 +199,16 @@ def export_streaming_native(outdir: str, preset: str = "veon_b",
     request = ("imgs", "depth_imgs", "lidarego2global", "prev_vox",
                "prev_l2g", "text_embed")
     out = jax.eval_shape(step, *example)  # name outputs by flatten order
-    out_names = ["".join(c if (c.isalnum() or c in "._") else ""
-                         for c in jax.tree_util.keystr(path))
-                 for path, _ in jax.tree_util.tree_flatten_with_path(out)[0]]
+    # same sanitizer as the input leaf names: separators become '.', so
+    # nested output trees can't collide the way a strip-everything rule
+    # would (['a']['b'] -> a.b, never 'ab')
+    import re
+
+    out_names = [
+        re.sub(r"\.+", ".", "".join(
+            c if (c.isalnum() or c in "._") else "."
+            for c in jax.tree_util.keystr(path))).strip(".")
+        for path, _ in jax.tree_util.tree_flatten_with_path(out)[0]]
     return export_native_bundle(step, example, outdir, arg_names,
                                 request_args=request,
                                 out_names=tuple(out_names))
@@ -226,9 +233,10 @@ def export_flagship_native(outdir: str) -> str:
 
 def _build_streaming(preset: str, num_temporal: int,
                      compute_dtype: Optional[str] = None):
-    """(fn, example_args, arg_names, request_arg_names) for the streaming
-    serving step — shared by the jax-envelope exporter, the native-bundle
-    exporter, and the sequential benchmark (cli.main._benchmark_streaming)."""
+    """(fn, example_args) for the streaming serving step — shared by the
+    jax-envelope exporter, the native-bundle exporter (which re-splits the
+    args itself: lidarego2global is per-request there), and the sequential
+    benchmark (cli.main._benchmark_streaming)."""
     import dataclasses
 
     import jax
@@ -267,26 +275,15 @@ def _build_streaming(preset: str, num_temporal: int,
            "post_trans")}
     m1["bda"] = metas["bda"]
     m1["lidarego2global"] = metas["lidarego2global"]
-    # serving is fixed-rig: precompute the lift's rank sort once (the serve
-    # CLI does the same, cli/main.py cmd_serve) — without it the exported /
-    # benchmarked step pays the in-graph rank argsort every frame, which is
-    # pathologically slow on TPU (XLA sort at ~1.1M keys; measured 4.4 s vs
-    # 190 ms per streaming frame on v5e)
-    from ..geometry.frustum import sensor2keyego_chain
-    from ..lift.lss import LSSLift
+    # serving is fixed-rig: precompute the lift's rank sort once (shared
+    # recipe with cmd_serve) — without it the exported / benchmarked step
+    # pays the in-graph rank argsort every frame, which is pathologically
+    # slow on TPU (XLA sort at ~1.1M keys; measured 4.4 s vs 190 ms per
+    # streaming frame on v5e)
+    from ..lift.lss import precompute_rig_sorted
 
-    F, N = metas["intrins"].shape[1:3]
-    s2k = sensor2keyego_chain(
-        metas["sensor2egos"].reshape(1, -1, 4, 4),
-        metas["ego2globals"].reshape(1, -1, 4, 4), F, N)
-    lift = LSSLift.from_config(cfg)
-    m1["lift_sorted"] = lift.precompute_sorted(
-        s2k[:, 0], metas["intrins"][:, 0], metas["post_rots"][:, 0],
-        metas["post_trans"][:, 0], metas["bda"])
+    m1["lift_sorted"] = precompute_rig_sorted(cfg, metas)
     prev_vox, prev_l2g = sess.state()
     example = (variables, imgs[:, :1], depth_imgs[:, :1], m1, ovw,
                prev_vox, prev_l2g, sess._zero_embed)
-    arg_names = ("variables", "imgs", "depth_imgs", "metas", "ovw",
-                 "prev_vox", "prev_l2g", "text_embed")
-    request = ("imgs", "depth_imgs", "prev_vox", "prev_l2g", "text_embed")
-    return sess._fn, example, arg_names, request
+    return sess._fn, example
