@@ -28,7 +28,8 @@ def echo_host(tmp_path_factory):
     """Dependency-free build (-DVEON_NO_PJRT): transport loop only."""
     exe = str(tmp_path_factory.mktemp("host") / "veon_serve_host_echo")
     subprocess.run(
-        ["g++", "-O2", "-std=c++17", "-DVEON_NO_PJRT", "-o", exe, SRC],
+        ["g++", "-O2", "-std=c++17", "-pthread", "-DVEON_NO_PJRT", "-o",
+         exe, SRC],
         check=True, capture_output=True, timeout=300)
     return exe
 
@@ -194,6 +195,31 @@ def test_echo_host_rejects_bad_dtype_and_bogus_dims(echo_host, tmp_path):
             proc.kill()
 
 
+def test_echo_host_concurrent_clients(echo_host, tmp_path):
+    """Thread-per-connection: a second client must be answered WHILE the
+    first still holds its persistent connection open (the single-client
+    accept loop this replaced would block it until the first closed)."""
+    from veon_tpu.serve import TensorClient
+
+    sock = str(tmp_path / "two.sock")
+    proc = subprocess.Popen([echo_host, sock, "--echo"],
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        _wait_socket(sock, proc)
+        with TensorClient(sock) as c1:
+            assert float(np.asarray(
+                c1.infer(x=np.float32(1.0))["x"]).reshape(-1)[0]) == 1.0
+            with TensorClient(sock) as c2:  # c1 still connected
+                assert float(np.asarray(
+                    c2.infer(x=np.float32(2.0))["x"]).reshape(-1)[0]) == 2.0
+            # and c1 keeps working after c2 came and went
+            assert float(np.asarray(
+                c1.infer(x=np.float32(3.0))["x"]).reshape(-1)[0]) == 3.0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 def test_echo_host_usage_error(echo_host):
     r = subprocess.run([echo_host], capture_output=True, text=True,
                        timeout=30)
@@ -207,8 +233,8 @@ def pjrt_host(tmp_path_factory):
         pytest.skip("no PJRT C API headers (tensorflow include dir) on box")
     exe = str(tmp_path_factory.mktemp("hostp") / "veon_serve_host")
     subprocess.run(
-        ["g++", "-O2", "-std=c++17", f"-I{TF_INC[0]}/tensorflow/compiler",
-         "-o", exe, SRC, "-ldl"],
+        ["g++", "-O2", "-std=c++17", "-pthread",
+         f"-I{TF_INC[0]}/tensorflow/compiler", "-o", exe, SRC, "-ldl"],
         check=True, capture_output=True, timeout=300)
     return exe
 

@@ -452,6 +452,24 @@ def test_publish_checkpoint(tmp_path):
     assert glob.glob(str(tmp_path / "pub2-*"))
 
 
+def test_ckpt_eval_variables_guard():
+    """The --ema published-checkpoint guard applies uniformly (single --ckpt
+    AND per checkpoint in an --all-ckpts sweep): a stripped/published state
+    dict with --ema exits with the clear message, not a raw KeyError."""
+    from veon_tpu.cli.main import _ckpt_eval_variables
+
+    full = {"params": {"w": 1}, "batch_stats": {"b": 2},
+            "ema_params": {"w": 3}, "ema_batch_stats": {"b": 4}}
+    assert _ckpt_eval_variables(full, ema=False) == {
+        "params": {"w": 1}, "batch_stats": {"b": 2}}
+    assert _ckpt_eval_variables(full, ema=True) == {
+        "params": {"w": 3}, "batch_stats": {"b": 4}}
+    published = {"params": {"w": 1}, "batch_stats": {"b": 2}}
+    assert _ckpt_eval_variables(published, ema=False)["params"] == {"w": 1}
+    with pytest.raises(SystemExit, match="published"):
+        _ckpt_eval_variables(published, ema=True, path="work/step_5")
+
+
 def test_list_checkpoints_range(tmp_path):
     """--sweep-from/--sweep-to (dist_test_all.sh $start/$end counterpart):
     list_checkpoints bounds the sweep by step."""

@@ -267,6 +267,24 @@ def cmd_train(args):
                      writer=writer)
 
 
+def _ckpt_eval_variables(state, ema, path=""):
+    """Pick params/batch_stats (or their EMA shadows) out of a loaded
+    checkpoint, with a clear error when --ema meets a published/stripped
+    checkpoint — applied per checkpoint so an --all-ckpts sweep over a
+    work_dir containing published checkpoints fails cleanly, not with a
+    raw KeyError mid-sweep."""
+    if ema and "ema_params" not in state:
+        # published checkpoints (ckpt.io.publish_checkpoint) are already
+        # stripped to the chosen weights under plain params/batch_stats
+        raise SystemExit(
+            f"--ema with a published checkpoint{f' ({path})' if path else ''}:"
+            " the EMA shadow was either already published as params "
+            "(publish --ema) or stripped — drop the --ema flag")
+    return {"params": state["ema_params" if ema else "params"],
+            "batch_stats": state["ema_batch_stats" if ema
+                                 else "batch_stats"]}
+
+
 def cmd_test(args):
     if getattr(args, "retrieval", False):
         return cmd_test_retrieval(args)
@@ -286,16 +304,8 @@ def cmd_test(args):
         bpe_path=getattr(args, "bpe_path", None),
     )
     if args.ckpt:
-        state = load_checkpoint(args.ckpt)
-        if args.ema and "ema_params" not in state:
-            # published checkpoints (ckpt.io.publish_checkpoint) are already
-            # stripped to the chosen weights under plain params/batch_stats
-            raise SystemExit(
-                "--ema with a published checkpoint: the EMA shadow was "
-                "either already published as params (publish --ema) or "
-                "stripped — drop the --ema flag")
-        variables = {"params": state["ema_params" if args.ema else "params"],
-                     "batch_stats": state["ema_batch_stats" if args.ema else "batch_stats"]}
+        variables = _ckpt_eval_variables(
+            load_checkpoint(args.ckpt), args.ema, path=args.ckpt)
     if getattr(args, "fuse_conv_bn", False):
         from ..ckpt.convert import fuse_conv_bn
 
@@ -336,12 +346,8 @@ def cmd_test(args):
         for step_n, path in list_checkpoints(
                 args.work_dir, min_step=getattr(args, "sweep_from", None),
                 max_step=getattr(args, "sweep_to", None)):
-            state = load_checkpoint(path)
-            variables = {
-                "params": state["ema_params" if args.ema else "params"],
-                "batch_stats": state["ema_batch_stats" if args.ema
-                                     else "batch_stats"],
-            }
+            variables = _ckpt_eval_variables(
+                load_checkpoint(path), args.ema, path=path)
             if getattr(args, "fuse_conv_bn", False):
                 from ..ckpt.convert import fuse_conv_bn
 
@@ -1044,19 +1050,23 @@ def _build_serve_handler(args):
                     f"{k} dtype {got} does not match this server's {mode} "
                     f"mode (expected {np.dtype(want)})")
 
-    # serving is fixed-rig: precompute the lift's rank sort once
-    # (accelerate mode, view_transformer_raw.py:196-215; shared recipe
-    # with the streaming exporters/benchmark, lift/lss.py)
-    from ..lift.lss import precompute_rig_sorted
-
-    metas = dict(metas)
-    metas["lift_sorted"] = precompute_rig_sorted(cfg, metas)
-
     # --cam-shards: camera-sharded serving (serve/camshard.py) — towers on
     # a ("cam",) mesh, one full-res grid psum, replicated 3D stage; the
     # latency-scaling axis for a multi-chip serving host
     cam_shards = getattr(args, "cam_shards", 1)
     mesh = None
+
+    # serving is fixed-rig: precompute the lift's rank sort once
+    # (accelerate mode, view_transformer_raw.py:196-215; shared recipe
+    # with the streaming exporters/benchmark, lift/lss.py). Skipped when
+    # cam-sharded: prepare_camshard_metas builds per-shard presorted streams
+    # itself, and the full-rig argsort would be discarded unread (a
+    # multi-second jitted dispatch at startup on the tunneled chip)
+    metas = dict(metas)
+    if cam_shards == 1:
+        from ..lift.lss import precompute_rig_sorted
+
+        metas["lift_sorted"] = precompute_rig_sorted(cfg, metas)
     if cam_shards > 1:
         from jax.sharding import Mesh
 

@@ -208,7 +208,11 @@ inline bool parse_npy(const std::string& path, Tensor* t) {
   }
   size_t dp = hdr.find("'descr':");
   if (dp == std::string::npos) { std::fclose(f); return false; }
-  size_t q1 = hdr.find('\'', dp + 8), q2 = hdr.find('\'', q1 + 1);
+  size_t q1 = hdr.find('\'', dp + 8);
+  size_t q2 = q1 == std::string::npos ? q1 : hdr.find('\'', q1 + 1);
+  // truncated/malformed headers must return false like every other bad-file
+  // path here, not throw out_of_range from substr
+  if (q2 == std::string::npos) { std::fclose(f); return false; }
   std::string descr = hdr.substr(q1 + 1, q2 - q1 - 1);
   struct { const char* d; uint8_t c; } map[] = {
       {"<f4", 0}, {"<f8", 1}, {"<i4", 2}, {"<i8", 3}, {"|u1", 4},
@@ -218,7 +222,10 @@ inline bool parse_npy(const std::string& path, Tensor* t) {
     if (descr == m.d) t->dtype = m.c;
   if (t->dtype == 255) { std::fclose(f); return false; }
   size_t sp = hdr.find("'shape':");
-  size_t p1 = hdr.find('(', sp), p2 = hdr.find(')', p1);
+  if (sp == std::string::npos) { std::fclose(f); return false; }
+  size_t p1 = hdr.find('(', sp);
+  size_t p2 = p1 == std::string::npos ? p1 : hdr.find(')', p1);
+  if (p2 == std::string::npos) { std::fclose(f); return false; }
   std::string shape = hdr.substr(p1 + 1, p2 - p1 - 1);
   t->dims.clear();
   const char* s = shape.c_str();

@@ -22,11 +22,13 @@
 //   attachable PJRT device; the unit test drives it with the python
 //   TensorClient across every protocol dtype).
 //
-// Like serve/server.py: persistent connections, one request per round,
-// per-request errors become status-1 frames and the daemon keeps serving.
+// Like serve/server.py: one thread per connection (handler calls are
+// serialized on a mutex — one device), persistent connections, one request
+// per round, per-request errors become status-1 frames and the daemon
+// keeps serving. --once handles a single connection inline and exits.
 //
 // Build (see tests/test_serve_host.py):
-//   g++ -O2 -std=c++17 [-I$TF_INCLUDE/tensorflow/compiler] \
+//   g++ -O2 -std=c++17 -pthread [-I$TF_INCLUDE/tensorflow/compiler] \
 //       [-DVEON_NO_PJRT] -o veon_serve_host serve_host.cpp [-ldl]
 // With -DVEON_NO_PJRT only --echo mode is compiled (no PJRT header
 // needed) — the dependency-free build used where TF headers are absent.
@@ -35,7 +37,9 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include <unistd.h>
@@ -147,34 +151,51 @@ struct PjrtHandler : Handler {
 };
 #endif  // VEON_NO_PJRT
 
+// handler calls are serialized: the PJRT executable targets one device, so
+// concurrency buys nothing on the compute side — the mutex exists so a
+// second CLIENT is not locked out while the first holds its persistent
+// connection (serve/server.py's thread-per-connection semantics)
+std::mutex handler_mu;
+
+void serve_connection(int conn, Handler* handler) {
+  for (;;) {  // persistent connection: one request per round
+    std::vector<vf::Tensor> req;
+    uint16_t status = 0;
+    if (!vf::recv_frame(conn, &req, &status)) break;  // peer closed
+    std::vector<vf::Tensor> resp;
+    double t0 = now_ms();
+    std::string err;
+    if (status == 0) {
+      std::lock_guard<std::mutex> lk(handler_mu);
+      err = handler->handle(req, &resp);
+    } else {
+      err = "request status " + std::to_string(status);
+    }
+    if (!err.empty()) {
+      if (!vf::send_error(conn, err)) break;
+      continue;  // keep serving, like serve/server.py
+    }
+    vf::Tensor ms;
+    ms.name = "server_ms";
+    ms.dtype = 0;  // f32 scalar
+    float v = static_cast<float>(now_ms() - t0);
+    ms.data.resize(4);
+    std::memcpy(ms.data.data(), &v, 4);
+    resp.push_back(std::move(ms));
+    if (!vf::send_frame(conn, resp)) break;
+  }
+  ::close(conn);
+}
+
 int serve_loop(int listen_fd, Handler* handler, bool once) {
   for (;;) {
     int conn = ::accept(listen_fd, nullptr, nullptr);
     if (conn < 0) return 1;
-    for (;;) {  // persistent connection: one request per round
-      std::vector<vf::Tensor> req;
-      uint16_t status = 0;
-      if (!vf::recv_frame(conn, &req, &status)) break;  // peer closed
-      std::vector<vf::Tensor> resp;
-      double t0 = now_ms();
-      std::string err =
-          status == 0 ? handler->handle(req, &resp)
-                      : "request status " + std::to_string(status);
-      if (!err.empty()) {
-        if (!vf::send_error(conn, err)) break;
-        continue;  // keep serving, like serve/server.py
-      }
-      vf::Tensor ms;
-      ms.name = "server_ms";
-      ms.dtype = 0;  // f32 scalar
-      float v = static_cast<float>(now_ms() - t0);
-      ms.data.resize(4);
-      std::memcpy(ms.data.data(), &v, 4);
-      resp.push_back(std::move(ms));
-      if (!vf::send_frame(conn, resp)) break;
+    if (once) {  // tests: handle the one connection inline, then exit
+      serve_connection(conn, handler);
+      return 0;
     }
-    ::close(conn);
-    if (once) return 0;
+    std::thread(serve_connection, conn, handler).detach();
   }
 }
 

@@ -81,7 +81,9 @@ def prepare_camshard_metas(
     metas = dict(metas)
     s2e = metas["sensor2egos"]
     B, F, N = s2e.shape[:3]
-    assert N % num_shards == 0, (N, num_shards)
+    if N % num_shards != 0:
+        raise ValueError(
+            f"{N} cameras not divisible by --cam-shards {num_shards}")
     metas["sensor2keyegos"] = _jitted_chain()(
         jnp.reshape(s2e, (B, F * N, 4, 4)),
         jnp.reshape(metas["ego2globals"], (B, F * N, 4, 4)), F, N)

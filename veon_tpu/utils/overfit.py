@@ -1,0 +1,251 @@
+"""Single-batch overfit probe: proof that the training recipe OPTIMIZES.
+
+Every other training test certifies one step (finite losses, nonzero grads,
+correct trainable partition). This probe runs N real steps of the actual
+stage-1 / stage-2 train steps on ONE fixed tiny batch and reports whether
+the loss goes DOWN and eval-mode predictions move TOWARD the labels — the
+strongest accuracy signal available without the released checkpoints
+(reference proves the same thing operationally via its 24-epoch recipe,
+`/root/reference/README.md:153-196`; optimizer config
+`configs/veon/veon-l-dav2-nodepthcache.py:244`). A subtly wrong LR
+schedule, frozen-mask, EMA gate, or BN-state threading passes every
+single-step test and fails here.
+
+Also re-measures the bf16-vs-fp32 divergence battery (test_precision.py)
+on the OVERFIT (structured, non-random) weights — the asserted bounds were
+calibrated on random init, which is argued to be the worst case; this is
+the measurement that justifies (or tightens) them.
+
+Run on the 1-core CPU box:
+  python -m veon_tpu.utils.overfit --stage both --steps 150 --json
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _cpu():
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # backend already initialized (e.g. under pytest's conftest)
+
+
+def stage2_overfit(steps: int = 40, lr: float = 1e-3, warmup_iters: int = 5,
+                   seed: int = 0, log_every: int = 10,
+                   ema_eval: bool = False) -> Dict:
+    """N steps of the real stage-2 `make_train_step` on one fixed batch.
+
+    Returns the loss_total curve plus init-vs-final eval-mode masked
+    accuracy and mIoU (fusion_rule pred vs the memorized labels) — and the
+    final TrainState for downstream measurements (bf16 divergence).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..cli.shapes import example_batch
+    from ..configs import presets
+    from ..eval.miou import MIoUMetric
+    from ..model.veon import VeonModel, fusion_rule
+    from ..nn import text as text_mod
+    from ..train.step import (create_train_state, make_optimizer,
+                              make_train_step, stage2_trainable,
+                              trainable_mask)
+
+    cfg = presets.veon_tiny_test()
+    model = VeonModel(cfg=cfg)
+    imgs, depth, metas = example_batch(cfg, B=1)
+    prompts, refl = text_mod.build_vocabulary(cfg.vocabulary)
+    rng = np.random.default_rng(seed)
+    ovw = jnp.asarray(rng.standard_normal(
+        (len(prompts) + 1, cfg.san.clip_embed_dim)).astype(np.float32))
+    nx, ny, nz = cfg.grid.size
+    # labels: random class field = the hardest memorization target (no
+    # spatial structure to shortcut); camera mask all-on so every voxel
+    # grades. 17 == free stays in the label set (fusion_rule's argmax must
+    # learn occupancy too, through the bin_occ head).
+    gt = rng.integers(0, 18, size=(1, nx, ny, nz)).astype(np.int32)
+    batch = {
+        "imgs": imgs, "depth": depth, "metas": metas,
+        "voxel_semantics": jnp.asarray(gt),
+        "mask_camera": jnp.ones((1, nx, ny, nz), jnp.int32),
+        "ov_weight": ovw, "epoch": jnp.asarray(0, jnp.int32),
+    }
+    membership = text_mod.merge_matrix(refl)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(seed), imgs, depth, metas, ovw, train=True)
+    labels = trainable_mask(variables["params"], stage2_trainable)
+    tx = make_optimizer(lr=lr, warmup_iters=warmup_iters, labels=labels)
+    state = create_train_state(model, variables, tx, init_updates=0)
+    step = make_train_step(model, tx, cfg, membership, mesh=None)
+
+    apply = jax.jit(model.apply, static_argnames=("train",))
+
+    def eval_pred(params, batch_stats):
+        out = apply({"params": params, "batch_stats": batch_stats},
+                    imgs, depth, metas, ovw, train=False)
+        merged = text_mod.merge_classes_max(
+            out["sem_occ_raw"], membership, axis=-1)
+        return np.asarray(fusion_rule(merged, out["bin_occ"]))
+
+    def score(pred):
+        acc = float((pred == gt).mean())
+        m = MIoUMetric(use_image_mask=True)
+        m.add_batch(pred, gt, None, np.ones_like(gt))
+        _, _, miou = m.count_miou()
+        return acc, float(miou)
+
+    acc0, miou0 = score(eval_pred(state.params, state.batch_stats))
+    curve = []
+    loss_keys: Dict[str, float] = {}
+    for i in range(steps):
+        state, losses = step(state, batch)
+        if i == 0 or (i + 1) % log_every == 0 or i == steps - 1:
+            losses = {k: float(v) for k, v in jax.device_get(losses).items()}
+            curve.append((i + 1, losses["loss_total"]))
+            loss_keys = losses
+    p, bs = ((state.ema_params, state.ema_batch_stats) if ema_eval
+             else (state.params, state.batch_stats))
+    acc1, miou1 = score(eval_pred(p, bs))
+    return {
+        "curve": curve, "loss0": curve[0][1], "loss1": curve[-1][1],
+        "acc0": acc0, "acc1": acc1, "miou0": miou0, "miou1": miou1,
+        "final_losses": loss_keys, "state": state, "model": model,
+        "cfg": cfg, "batch": batch, "refl": refl, "gt": gt,
+    }
+
+
+def stage1_overfit(steps: int = 40, lr: float = 1e-3, warmup_iters: int = 5,
+                   seed: int = 0, log_every: int = 10) -> Dict:
+    """N steps of the real stage-1 depth-pretrain step on one fixed batch.
+
+    GT is a SMOOTH synthetic depth field (structure a LoRA-rank-2 + DPT-head
+    partition can actually fit; per-pixel noise would measure capacity, not
+    optimization). Loss = SILog + 0.05*bin-CE (view_transformer_raw.py:498).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..configs.base import DepthConfig, GridConfig, LossConfig
+    from ..nn.dpt import DepthAnythingV2
+    from ..train.depth_pretrain import depth_trainable, make_depth_pretrain_step
+    from ..train.step import create_train_state, make_optimizer, trainable_mask
+
+    grid = GridConfig()
+    dcfg = DepthConfig(encoder="vits", features=8, out_channels=(4, 8, 8, 8),
+                       lora_r=2)
+    model = DepthAnythingV2(cfg=dcfg)
+    rng = np.random.default_rng(seed)
+    imgs = jnp.asarray(
+        rng.standard_normal((1, 1, 2, 28, 42, 3)).astype(np.float32))
+    yy, xx = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 48),
+                         indexing="ij")
+    plane = 4.0 + 30.0 * yy + 5.0 * xx  # road-like: depth grows with row
+    gt = jnp.asarray(np.stack([plane, plane[::-1]])[None].astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(seed), imgs[0, 0])
+    labels = trainable_mask(variables["params"], depth_trainable)
+    tx = make_optimizer(lr=lr, warmup_iters=warmup_iters, labels=labels)
+    state = create_train_state(model, variables, tx, init_updates=0)
+    step = make_depth_pretrain_step(model, tx, grid, LossConfig())
+    batch = {"depth_imgs": imgs, "gt_depth": gt}
+    curve = []
+    for i in range(steps):
+        state, losses = step(state, batch)
+        if i == 0 or (i + 1) % log_every == 0 or i == steps - 1:
+            curve.append((i + 1, float(losses["loss_total"])))
+    return {"curve": curve, "loss0": curve[0][1], "loss1": curve[-1][1],
+            "state": state}
+
+
+def bf16_divergence(model, cfg, state, batch, refl) -> Dict[str, float]:
+    """The test_precision.py battery on GIVEN (e.g. overfit) weights."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..model.veon import VeonModel, fusion_rule
+    from ..nn import text as text_mod
+
+    membership = text_mod.merge_matrix(refl)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    args = (batch["imgs"], batch["depth"], batch["metas"], batch["ov_weight"])
+    out32 = jax.jit(model.apply, static_argnames=("train",))(
+        variables, *args, train=False)
+    model16 = VeonModel(cfg=dataclasses.replace(cfg, compute_dtype="bfloat16"))
+    out16 = jax.jit(model16.apply, static_argnames=("train",))(
+        variables, *args, train=False)
+
+    def pred(out):
+        merged = text_mod.merge_classes_max(
+            out["sem_occ_raw"], membership, axis=-1)
+        return np.asarray(fusion_rule(merged, out["bin_occ"]))
+
+    flips = float((pred(out32) != pred(out16)).mean())
+    a = np.asarray(out32["feat_occ"]).reshape(-1)
+    b = np.asarray(out16["feat_occ"]).reshape(-1)
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    p32 = jax.nn.softmax(out32["bin_occ"], axis=-1)[..., 0]
+    p16 = jax.nn.softmax(out16["bin_occ"], axis=-1)[..., 0]
+    occ_mad = float(jnp.abs(p32 - p16).mean())
+    return {"flip_rate": flips, "feat_cos": cos, "occ_prob_mad": occ_mad}
+
+
+def main(argv: Optional[list] = None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--stage", choices=("1", "2", "both"), default="both")
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bf16-divergence", action="store_true",
+                    help="re-run the precision battery on the overfit "
+                         "stage-2 weights (VERDICT r3 weak #2)")
+    ap.add_argument("--save", default=None,
+                    help="work_dir to save the overfit stage-2 checkpoint")
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--tpu", action="store_true",
+                    help="leave the default (axon TPU) backend in place")
+    args = ap.parse_args(argv)
+    if not args.tpu:
+        _cpu()
+
+    report = {}
+    if args.stage in ("1", "both"):
+        r1 = stage1_overfit(steps=args.steps, lr=args.lr, seed=args.seed,
+                            log_every=args.log_every)
+        report["stage1"] = {k: r1[k] for k in ("curve", "loss0", "loss1")}
+        report["stage1"]["drop_pct"] = 100 * (1 - r1["loss1"] / r1["loss0"])
+    if args.stage in ("2", "both"):
+        r2 = stage2_overfit(steps=args.steps, lr=args.lr, seed=args.seed,
+                            log_every=args.log_every)
+        report["stage2"] = {k: r2[k] for k in
+                            ("curve", "loss0", "loss1", "acc0", "acc1",
+                             "miou0", "miou1", "final_losses")}
+        report["stage2"]["drop_pct"] = 100 * (1 - r2["loss1"] / r2["loss0"])
+        if args.bf16_divergence:
+            report["bf16_overfit"] = bf16_divergence(
+                r2["model"], r2["cfg"], r2["state"], r2["batch"], r2["refl"])
+        if args.save:
+            from ..ckpt.io import save_checkpoint
+
+            st = r2["state"]
+            path = save_checkpoint(args.save, int(st.step), {
+                "params": st.params, "batch_stats": st.batch_stats,
+                "ema_params": st.ema_params,
+                "ema_batch_stats": st.ema_batch_stats,
+                "step": st.step})
+            report["saved"] = path
+    print(json.dumps(report, indent=None if args.json else 2))
+
+
+if __name__ == "__main__":
+    main()
