@@ -103,6 +103,7 @@ def stage2_overfit(steps: int = 40, lr: float = 1e-3, warmup_iters: int = 5,
 
     acc0, miou0 = score(eval_pred(state.params, state.batch_stats))
     curve = []
+    first_losses: Dict[str, float] = {}
     loss_keys: Dict[str, float] = {}
     for i in range(steps):
         state, losses = step(state, batch)
@@ -110,12 +111,15 @@ def stage2_overfit(steps: int = 40, lr: float = 1e-3, warmup_iters: int = 5,
             losses = {k: float(v) for k, v in jax.device_get(losses).items()}
             curve.append((i + 1, losses["loss_total"]))
             loss_keys = losses
+            if i == 0:
+                first_losses = losses
     p, bs = ((state.ema_params, state.ema_batch_stats) if ema_eval
              else (state.params, state.batch_stats))
     acc1, miou1 = score(eval_pred(p, bs))
     return {
         "curve": curve, "loss0": curve[0][1], "loss1": curve[-1][1],
         "acc0": acc0, "acc1": acc1, "miou0": miou0, "miou1": miou1,
+        "first_losses": first_losses,
         "final_losses": loss_keys, "state": state, "model": model,
         "cfg": cfg, "batch": batch, "refl": refl, "gt": gt,
     }
@@ -229,7 +233,8 @@ def main(argv: Optional[list] = None):
                             log_every=args.log_every)
         report["stage2"] = {k: r2[k] for k in
                             ("curve", "loss0", "loss1", "acc0", "acc1",
-                             "miou0", "miou1", "final_losses")}
+                             "miou0", "miou1", "first_losses",
+                             "final_losses")}
         report["stage2"]["drop_pct"] = 100 * (1 - r2["loss1"] / r2["loss0"])
         if args.bf16_divergence:
             report["bf16_overfit"] = bf16_divergence(
