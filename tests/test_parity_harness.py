@@ -1,0 +1,131 @@
+"""Weights-day activation-parity harness plumbing (round-3 verdict missing
+#1 mitigation): the JAX-side comparator must run green on a synthetic dump
+that follows dump_reference.py's documented format/layouts, and turn red
+when a boundary is corrupted.
+
+The synthetic dump is produced FROM the tiny jax graph with the inverse
+layout adapters (torch NCHW / channel-first-3D / dense-hsa-bias), so this
+certifies the dump format, key scheme, layout adapters, tolerance plumbing,
+and CLI exit semantics — real cross-framework numerics can only be checked
+when the released checkpoints exist (the dump half runs in the torch env).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from veon_tpu.parity.compare import (BOUNDARIES, compare_dumps,
+                                     format_report, run_jax_boundaries)
+
+
+def _torchify(name, arr):
+    """Inverse of compare.reference_boundaries' adapters: jax layout ->
+    the torch-layout npz entries dump_reference.py would have written."""
+    a = np.asarray(arr)
+    if name.startswith("clip_tokens."):
+        sub = name.split(".", 1)[1]
+        if sub.endswith("_cls"):  # (BN,1,C) -> (1,BN,C)
+            return {f"clip_tokens#0/{sub[:-4]}_cls_token": a.transpose(1, 0, 2)}
+        return {f"clip_tokens#0/{sub}": a.transpose(0, 3, 1, 2)}
+    if name == "sa_mask_preds":
+        return {"side_adapter#0/0/0": a}
+    if name == "sa_attn_bias":
+        return {"side_adapter#0/1/0": a}
+    if name == "rec_mask_embs":
+        return {"rec_mask_embs#0": a}
+    if name == "rec_update_proj":  # (BN,h,w,C) -> (BN,C,h,w)
+        return {"rec_update#0/clip_feat_proj": a.transpose(0, 3, 1, 2)}
+    if name == "hsa_attn_dense":  # (A,B,heads,L,L) -> per-layer entries
+        return {f"hsa#0/1/{i}": a[i] for i in range(a.shape[0])}
+    if name == "hsa_supp":  # (B,Hs,Ws,C) -> (B,C,Hs,Ws)
+        return {"hsa#0/2/0": a.transpose(0, 3, 1, 2)}
+    if name == "lift_vox":  # (B,Z,Y,X,C) -> (B,C,Z,Y,X)
+        return {"lift#0": a.transpose(0, 4, 1, 2, 3)}
+    if name in ("occ_bin", "occ_feat"):
+        key = "bin_occ" if name == "occ_bin" else "feat_occ"
+        return {f"occ_heads#0/{key}": a.transpose(0, 4, 1, 2, 3)}
+    if name in ("out_sem_seg_ds", "out_sem_embed_ds", "out_clip_feat"):
+        # (B,N,h,w,C) -> (B,N,C,h,w)
+        return {f"outputs#0/{name[4:]}": a.transpose(0, 1, 4, 2, 3)}
+    if name in ("out_bin_occ", "out_feat_occ"):
+        return {f"outputs#0/{name[4:]}": a.transpose(0, 4, 1, 2, 3)}
+    return {}  # jax-only boundaries (e.g. lift_fused_2d) stay undumped
+
+
+@pytest.fixture(scope="module")
+def dump_dir(tiny_graph, tmp_path_factory):
+    g = tiny_graph(1)
+    B, F, N = 1, 1, 6
+    imgs = np.asarray(g["imgs"])  # (B,F,N,H,W,3)
+    depth = np.asarray(g["depth"])
+    m = {k: np.asarray(v) for k, v in g["metas"].items()}
+
+    inputs = {
+        "imgs": imgs.reshape(B, F * N, *imgs.shape[3:]).transpose(0, 1, 4, 2, 3),
+        "depth": depth.reshape(B, F * N, *depth.shape[3:]),
+        "sensor2egos": m["sensor2egos"].reshape(B, F * N, 4, 4),
+        "ego2globals": m["ego2globals"].reshape(B, F * N, 4, 4),
+        "intrins": m["intrins"].reshape(B, F * N, 3, 3),
+        "post_rots": m["post_rots"].reshape(B, F * N, 3, 3),
+        "post_trans": m["post_trans"].reshape(B, F * N, 3),
+        "bda": m["bda"],
+    }
+
+    jax_side = run_jax_boundaries(g["model"], g["params"],
+                                  {"imgs": g["imgs"], "depth": g["depth"],
+                                   "metas": g["metas"]}, g["ovw"])
+    bnd = {"outputs#0/ov_classifier_weight": np.asarray(g["ovw"])}
+    for name, arr in jax_side.items():
+        bnd.update(_torchify(name, arr))
+
+    d = tmp_path_factory.mktemp("parity_dump")
+    np.savez(d / "inputs.npz", **inputs)
+    np.savez(d / "boundaries.npz", **bnd)
+    (d / "manifest.json").write_text(json.dumps(
+        {"boundaries": sorted({k.split("#")[0] for k in bnd})}))
+    return str(d), g, jax_side
+
+
+def test_comparator_green_on_faithful_dump(dump_dir):
+    d, g, jax_side = dump_dir
+    rows = compare_dumps(d, g["model"], g["params"])
+    report = format_report(rows)
+    by_name = {r["boundary"]: r for r in rows}
+    # every boundary that exists on both sides compares ok (same arrays up
+    # to the adapter round-trip, so cos == 1 within float noise)
+    compared = [r for r in rows if r["ok"] is not None]
+    assert compared, report
+    assert all(r["ok"] for r in compared), report
+    # the big semantic ones actually got compared, not silently skipped
+    # (the tiny preset's rec-head entry layer, not the veon_b layer 9)
+    entry_layer = f"clip_tokens.{g['cfg'].san.feature_last_layer_idx}"
+    for must in ("sa_mask_preds", "rec_mask_embs", "hsa_supp", "lift_vox",
+                 "occ_bin", "out_feat_occ", entry_layer):
+        assert any(b == must or b.startswith(must) for b in by_name
+                   if by_name[b]["ok"]), (must, report)
+
+
+def test_comparator_red_on_corrupted_boundary(dump_dir, tmp_path):
+    d, g, _ = dump_dir
+    bnd = dict(np.load(d + "/boundaries.npz"))
+    key = "rec_mask_embs#0"
+    bnd[key] = bnd[key] + 0.5 * np.abs(bnd[key]).max()
+    import shutil
+
+    d2 = tmp_path / "corrupt"
+    shutil.copytree(d, d2)
+    np.savez(d2 / "boundaries.npz", **bnd)
+    rows = compare_dumps(str(d2), g["model"], g["params"])
+    by = {r["boundary"]: r for r in rows}
+    assert by["rec_mask_embs"]["ok"] is False, format_report(rows)
+    # and an unrelated boundary still passes (corruption is localized)
+    assert by["sa_mask_preds"]["ok"], format_report(rows)
+
+
+def test_tolerance_table_covers_all_emitted_boundaries(dump_dir):
+    _, _, jax_side = dump_dir
+    for name in jax_side:
+        base = name.split(".")[0]
+        assert base in BOUNDARIES or name in BOUNDARIES or base in (
+            "lift_fused_2d",), f"no default tolerance for {name}"

@@ -822,6 +822,40 @@ def _selftest_weights(args):
     return {"miou": miou}
 
 
+def cmd_parity(args):
+    """Weights-day activation parity: replay a reference dump directory
+    (written by veon_tpu/parity/dump_reference.py inside the torch
+    environment) through the converted-weight model and check every module
+    boundary within per-boundary tolerances (parity/compare.py). Exits
+    nonzero on any failed boundary. Reference module boundaries:
+    `san_in_veon_temporal.py:113-218`."""
+    from ..parity.compare import compare_dumps, format_report
+
+    if not getattr(args, "dumps", None):
+        raise SystemExit("parity needs --dumps <dir> (see "
+                         "veon_tpu/parity/dump_reference.py for producing "
+                         "one in the reference environment)")
+    cfg = _build_cfg(args)
+    if getattr(args, "weights_dir", None):
+        paths = _resolve_weights_dir(args.weights_dir, args.preset)
+        san, depth = paths["san"], paths["depth"]
+        bpe = getattr(args, "bpe_path", None) or paths.get("bpe")
+    else:
+        san, depth = args.load_from, args.depth_load_from
+        bpe = getattr(args, "bpe_path", None)
+    model, variables, _ovw, _refl, _extras = _build_model_and_params(
+        cfg, san_ckpt=san, depth_ckpt=depth, bpe_path=bpe)
+    if not san:
+        print("WARNING: no --weights-dir/--load-from — comparing against "
+              "RANDOM init (harness smoke only, boundaries WILL fail)")
+    rows = compare_dumps(args.dumps, model, variables,
+                         num_cams=cfg.data.num_cams)
+    print(format_report(rows))
+    if any(r["ok"] is False for r in rows):
+        raise SystemExit(1)
+    return rows
+
+
 def cmd_publish(args):
     """Checkpoint publishing (`tools/model_converters/publish_model.py`
     counterpart): strip a training checkpoint to inference weights and
@@ -1329,7 +1363,11 @@ def main(argv=None):
         p.add_argument("--weights-dir", default=None,
                        help="selftest: reference-README ckpts/ layout dir — "
                             "runs the weights-arrival drill (convert + load "
-                            "+ forward + tiny mIoU)")
+                            "+ forward + tiny mIoU); parity: same layout, "
+                            "weights to convert before comparing")
+        p.add_argument("--dumps", default=None,
+                       help="parity: reference activation-dump dir "
+                            "(parity/dump_reference.py output)")
 
     for name, fn in [("train", cmd_train), ("test", cmd_test),
                      ("cache-depth", cmd_cache_depth),
@@ -1337,7 +1375,7 @@ def main(argv=None):
                      ("benchmark", cmd_benchmark), ("selftest", cmd_selftest),
                      ("export", cmd_export), ("serve", cmd_serve),
                      ("vis", cmd_vis), ("create-infos", cmd_create_infos),
-                     ("publish", cmd_publish)]:
+                     ("publish", cmd_publish), ("parity", cmd_parity)]:
         p = sub.add_parser(name)
         common(p)
         p.set_defaults(fn=fn)

@@ -169,6 +169,7 @@ class VeonModel(nn.Module):
         metas: Dict[str, jnp.ndarray],
         ov_weight: jnp.ndarray,
         train: bool = False,
+        return_early_vox: bool = False,
     ) -> VeonOutputs:
         """Args:
           imgs: (B, F, N, H, W, 3) clipsan-normalized images.
@@ -234,6 +235,7 @@ class VeonModel(nn.Module):
         presorted0 = metas.get("lift_sorted") if F == 1 else None
         return self._forward_current(flat0, feats0_2d, depth[:, 0], lift0_args,
                                      ov_weight, occ_feat_prevs, B, N,
+                                     return_early_vox=return_early_vox,
                                      presorted=presorted0, train=train)
 
     def _forward_current(self, flat0, feats0_2d, depth0, lift0_args, ov_weight,
