@@ -59,10 +59,15 @@ int main(int argc, char** argv) {
   bool probe = false;
   std::string out_prefix = "./out_";
   std::vector<std::string> input_paths;
+  std::vector<vp::CreateOpt> copts;
   for (int i = 3; i < argc; ++i) {
     if (std::strcmp(argv[i], "--probe") == 0) probe = true;
     else if (std::strcmp(argv[i], "--out") == 0 && i + 1 < argc)
       out_prefix = argv[++i];
+    else if (std::strcmp(argv[i], "--copt") == 0 && i + 1 < argc)
+      // client create option k=v (remote-terminal proxy plugins want
+      // topology/session_id/remote_compile here, like jax passes them)
+      copts.push_back(vp::parse_copt(argv[++i]));
     else input_paths.push_back(argv[i]);
   }
 
@@ -70,7 +75,7 @@ int main(int argc, char** argv) {
 
   PJRT_Client* client = nullptr;
   {
-    std::string e = vp::create_client(&client);
+    std::string e = vp::create_client(&client, copts);
     if (!e.empty()) {
       std::fprintf(stderr, "client create failed: %s\n", e.c_str());
       // --probe treats "plugin loaded + api negotiated but no device

@@ -8,6 +8,7 @@
 
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <string>
 #include <vector>
 
@@ -142,9 +143,53 @@ inline std::string load_plugin(const char* plugin_path) {
   return check(g_api->PJRT_Plugin_Initialize(&init));
 }
 
-inline std::string create_client(PJRT_Client** out) {
+// typed client create option ("--copt k=v": all-digits v -> kInt64,
+// otherwise kString — matches how jax encodes python int/str options).
+// Plugins that need connection parameters (e.g. a remote-terminal proxy
+// plugin wants session_id/topology/remote_compile) receive them here.
+struct CreateOpt {
+  std::string key;
+  std::string sval;
+  int64_t ival = 0;
+  bool is_int = false;
+};
+
+inline CreateOpt parse_copt(const std::string& kv) {
+  CreateOpt o;
+  size_t eq = kv.find('=');
+  o.key = kv.substr(0, eq);
+  if (eq == std::string::npos) return o;
+  o.sval = kv.substr(eq + 1);
+  if (!o.sval.empty() &&
+      o.sval.find_first_not_of("0123456789-") == std::string::npos) {
+    o.is_int = true;
+    o.ival = std::strtoll(o.sval.c_str(), nullptr, 10);
+  }
+  return o;
+}
+
+inline std::string create_client(PJRT_Client** out,
+                                 const std::vector<CreateOpt>& opts = {}) {
+  std::vector<PJRT_NamedValue> nv(opts.size());
+  for (size_t i = 0; i < opts.size(); ++i) {
+    nv[i] = PJRT_NamedValue{};
+    nv[i].struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    nv[i].name = opts[i].key.c_str();
+    nv[i].name_size = opts[i].key.size();
+    if (opts[i].is_int) {
+      nv[i].type = PJRT_NamedValue_kInt64;
+      nv[i].int64_value = opts[i].ival;
+      nv[i].value_size = 1;
+    } else {
+      nv[i].type = PJRT_NamedValue_kString;
+      nv[i].string_value = opts[i].sval.c_str();
+      nv[i].value_size = opts[i].sval.size();
+    }
+  }
   PJRT_Client_Create_Args cc{};
   cc.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  cc.create_options = nv.data();
+  cc.num_options = nv.size();
   std::string e = check(g_api->PJRT_Client_Create(&cc));
   if (e.empty()) *out = cc.client;
   return e;

@@ -227,11 +227,16 @@ int main(int argc, char** argv) {
       return 2;
     }
     std::vector<std::pair<std::string, std::string>> binds;
+    std::vector<veon_pjrt::CreateOpt> copts;
     for (int i = 4; i < argc; ++i) {
       if (std::strcmp(argv[i], "--order") == 0 && i + 1 < argc)
         pjrt.order = split_csv(argv[++i]);
       else if (std::strcmp(argv[i], "--out") == 0 && i + 1 < argc)
         pjrt.out_names = split_csv(argv[++i]);
+      else if (std::strcmp(argv[i], "--copt") == 0 && i + 1 < argc)
+        // client create option k=v (e.g. a remote-terminal proxy plugin's
+        // topology=v5e:1x1x1 remote_compile=1 session_id=...)
+        copts.push_back(veon_pjrt::parse_copt(argv[++i]));
       else if (std::strcmp(argv[i], "--bind") == 0 && i + 1 < argc) {
         const char* eq = std::strchr(argv[++i], '=');
         if (!eq) {
@@ -248,7 +253,7 @@ int main(int argc, char** argv) {
       return 2;
     }
     std::string e = veon_pjrt::load_plugin(argv[2]);
-    if (e.empty()) e = veon_pjrt::create_client(&pjrt.client);
+    if (e.empty()) e = veon_pjrt::create_client(&pjrt.client, copts);
     if (!e.empty()) {
       std::fprintf(stderr, "PJRT init failed: %s\n", e.c_str());
       return 3;  // same "no attachable device" outcome as pjrt_runner
