@@ -11,8 +11,9 @@ pipelines).
 
 from __future__ import annotations
 
+import multiprocessing
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -41,17 +42,42 @@ def collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
+# process-mode worker state: the dataset is shipped ONCE per worker via the
+# pool initializer (fork start method — cheap page-sharing on Linux), not
+# re-pickled per batch; only batch indices go out and collated batches come
+# back over the pipe.
+_WORKER_DATASET = None
+
+
+def _process_worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _process_worker_load(batch_idx):
+    return collate([_WORKER_DATASET[int(i)] for i in batch_idx])
+
+
 class DataLoader:
-    """Order-preserving threaded loader.
+    """Order-preserving threaded (or multi-process) loader.
 
     Args:
       dataset: indexable with __len__/__getitem__ returning a sample dict.
       batch_size: samples per batch.
       shuffle: reshuffle per epoch (seeded by `set_epoch`).
-      num_workers: decode threads (also the prefetch depth in batches).
+      num_workers: decode workers (also the prefetch depth in batches).
       drop_last: drop the trailing partial batch (train default).
       shard: optional (rank, count) — this loader sees dataset indices
         rank, rank+count, rank+2*count, ... (exact partition across ranks).
+      mode: "thread" (default) or "process". Threads rely on PIL/numpy/the
+        native decoder releasing the GIL — the pure-python pipeline parts
+        (meta assembly, aug matrices) serialize, so thread scaling tops out
+        (measured in NOTES; utils/loader_bench.py --workers N --mode M
+        reproduces). "process" sidesteps the GIL with a forked
+        ProcessPoolExecutor at the cost of pickling each collated batch
+        back through a pipe; the dataset must be picklable (ours is: infos
+        + dataclass configs + numpy). mmcv's build_dataloader counterpart
+        is worker processes too (`apis/train.py:186-200`).
     """
 
     def __init__(
@@ -62,13 +88,17 @@ class DataLoader:
         num_workers: int = 2,
         drop_last: bool = True,
         shard: Optional[Tuple[int, int]] = None,
+        mode: str = "thread",
     ):
+        if mode not in ("thread", "process"):
+            raise ValueError(f"mode must be thread|process, got {mode!r}")
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = bool(shuffle)
         self.num_workers = max(1, int(num_workers))
         self.drop_last = bool(drop_last)
         self.shard = shard
+        self.mode = mode
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -112,13 +142,24 @@ class DataLoader:
         def load(batch_idx: np.ndarray) -> Dict[str, Any]:
             return collate([self.dataset[int(i)] for i in batch_idx])
 
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+        if self.mode == "process":
+            pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("fork"),
+                initializer=_process_worker_init,
+                initargs=(self.dataset,),
+            )
+            submit = lambda b: pool.submit(_process_worker_load, b)  # noqa: E731
+        else:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            submit = lambda b: pool.submit(load, b)  # noqa: E731
+        with pool:
             depth = self.num_workers + 1
-            futures = [pool.submit(load, b) for b in batches[:depth]]
+            futures = [submit(b) for b in batches[:depth]]
             nxt = depth
             for i in range(len(batches)):
                 yield futures[i].result()
                 futures[i] = None  # release
                 if nxt < len(batches):
-                    futures.append(pool.submit(load, batches[nxt]))
+                    futures.append(submit(batches[nxt]))
                     nxt += 1

@@ -60,6 +60,7 @@ int main(int argc, char** argv) {
   std::string out_prefix = "./out_";
   std::vector<std::string> input_paths;
   std::vector<vp::CreateOpt> copts;
+  std::string compile_opts_path;
   for (int i = 3; i < argc; ++i) {
     if (std::strcmp(argv[i], "--probe") == 0) probe = true;
     else if (std::strcmp(argv[i], "--out") == 0 && i + 1 < argc)
@@ -68,6 +69,8 @@ int main(int argc, char** argv) {
       // client create option k=v (remote-terminal proxy plugins want
       // topology/session_id/remote_compile here, like jax passes them)
       copts.push_back(vp::parse_copt(argv[++i]));
+    else if (std::strcmp(argv[i], "--compile-opts") == 0 && i + 1 < argc)
+      compile_opts_path = argv[++i];
     else input_paths.push_back(argv[i]);
   }
 
@@ -106,7 +109,15 @@ int main(int argc, char** argv) {
     return 1;
   }
   PJRT_LoadedExecutable* exec = nullptr;
-  CHECK_OK(vp::compile_mlir(client, mlir, &exec));
+  std::vector<char> co;
+  if (!compile_opts_path.empty()) {
+    co = vp::read_file(compile_opts_path);
+    if (co.empty()) {
+      std::fprintf(stderr, "cannot read %s\n", compile_opts_path.c_str());
+      return 1;
+    }
+  }
+  CHECK_OK(vp::compile_mlir(client, mlir, &exec, co.empty() ? nullptr : &co));
   std::printf("compiled %s (%zu bytes mlir)\n", mlir_path, mlir.size());
 
   // inputs -> device buffers (.npy descr -> PJRT type via frame codes)

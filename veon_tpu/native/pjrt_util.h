@@ -219,22 +219,33 @@ inline std::string first_device(PJRT_Client* client, PJRT_Device** out,
 
 inline std::string compile_mlir(PJRT_Client* client,
                                 const std::vector<char>& mlir,
-                                PJRT_LoadedExecutable** out) {
+                                PJRT_LoadedExecutable** out,
+                                const std::vector<char>* options_pb = nullptr) {
   PJRT_Program program{};
   program.struct_size = PJRT_Program_STRUCT_SIZE;
   program.code = const_cast<char*>(mlir.data());
   program.code_size = mlir.size();
   program.format = "mlir";
   program.format_size = 4;
-  // minimal CompileOptionsProto: executable_build_options(field 3) with
-  // num_replicas(4)=1, num_partitions(5)=1 — hand-encoded protobuf wire
-  static const unsigned char opts[] = {0x1A, 0x04, 0x20, 0x01, 0x28, 0x01};
+  // CompileOptionsProto. Default: minimal executable_build_options(field 3)
+  // with num_replicas(4)=1, num_partitions(5)=1 — hand-encoded wire format.
+  // Production bundles ship the FULL options jax would send
+  // (export --native writes compile_options.pb; pass via options_pb): the
+  // scheduling defaults in there matter at real graph scale — the minimal
+  // proto compiled a toy module fine but blew the TPU's 2 KB sflag budget
+  // (async-copy sync flags) by 32B on the full VEON graph.
+  static const unsigned char min_opts[] = {0x1A, 0x04, 0x20, 0x01, 0x28, 0x01};
   PJRT_Client_Compile_Args comp{};
   comp.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
   comp.client = client;
   comp.program = &program;
-  comp.compile_options = reinterpret_cast<const char*>(opts);
-  comp.compile_options_size = sizeof opts;
+  if (options_pb && !options_pb->empty()) {
+    comp.compile_options = options_pb->data();
+    comp.compile_options_size = options_pb->size();
+  } else {
+    comp.compile_options = reinterpret_cast<const char*>(min_opts);
+    comp.compile_options_size = sizeof min_opts;
+  }
   std::string e = check(g_api->PJRT_Client_Compile(&comp));
   if (e.empty()) *out = comp.executable;
   return e;

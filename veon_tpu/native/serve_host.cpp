@@ -228,6 +228,7 @@ int main(int argc, char** argv) {
     }
     std::vector<std::pair<std::string, std::string>> binds;
     std::vector<veon_pjrt::CreateOpt> copts;
+    std::string compile_opts_path;
     for (int i = 4; i < argc; ++i) {
       if (std::strcmp(argv[i], "--order") == 0 && i + 1 < argc)
         pjrt.order = split_csv(argv[++i]);
@@ -237,6 +238,8 @@ int main(int argc, char** argv) {
         // client create option k=v (e.g. a remote-terminal proxy plugin's
         // topology=v5e:1x1x1 remote_compile=1 session_id=...)
         copts.push_back(veon_pjrt::parse_copt(argv[++i]));
+      else if (std::strcmp(argv[i], "--compile-opts") == 0 && i + 1 < argc)
+        compile_opts_path = argv[++i];
       else if (std::strcmp(argv[i], "--bind") == 0 && i + 1 < argc) {
         const char* eq = std::strchr(argv[++i], '=');
         if (!eq) {
@@ -268,7 +271,19 @@ int main(int argc, char** argv) {
       std::fprintf(stderr, "cannot read %s\n", argv[3]);
       return 1;
     }
-    e = veon_pjrt::compile_mlir(pjrt.client, mlir, &pjrt.exec);
+    // full jax-equivalent CompileOptionsProto when the bundle ships one
+    // (export --native writes compile_options.pb — required at real graph
+    // scale, see pjrt_util.h compile_mlir)
+    std::vector<char> co;
+    if (!compile_opts_path.empty()) {
+      co = veon_pjrt::read_file(compile_opts_path);
+      if (co.empty()) {
+        std::fprintf(stderr, "cannot read %s\n", compile_opts_path.c_str());
+        return 1;
+      }
+    }
+    e = veon_pjrt::compile_mlir(pjrt.client, mlir, &pjrt.exec,
+                                co.empty() ? nullptr : &co);
     if (e.empty()) e = veon_pjrt::num_outputs(pjrt.exec, &pjrt.n_out);
     if (!e.empty()) {
       std::fprintf(stderr, "compile failed: %s\n", e.c_str());

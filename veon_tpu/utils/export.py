@@ -97,6 +97,17 @@ def export_native_bundle(fn, example_args, outdir: str,
     os.makedirs(os.path.join(outdir, "bind"), exist_ok=True)
     with open(os.path.join(outdir, "module.mlir"), "w") as f:
         f.write(exp.mlir_module())
+    # the FULL CompileOptionsProto jax itself would send (scheduling /
+    # debug-option defaults included). The native consumers pass it through
+    # PJRT_Client_Compile verbatim via --compile-opts: the minimal
+    # num_replicas/num_partitions proto compiles toy modules but blew the
+    # TPU's 2 KB sflag (async-copy sync flag) budget by 32B on the full
+    # VEON graph — jax's defaults schedule it under budget.
+    from jax._src import compiler as _jax_compiler
+
+    co = _jax_compiler.get_compile_options(num_replicas=1, num_partitions=1)
+    with open(os.path.join(outdir, "compile_options.pb"), "wb") as f:
+        f.write(co.SerializeAsString())
 
     def leaf_name(top: str, path) -> str:
         import re
@@ -122,7 +133,8 @@ def export_native_bundle(fn, example_args, outdir: str,
     serve_cmd = ("veon_serve_host <socket> libtpu.so module.mlir --order "
                  + ",".join(order) + " "
                  + " ".join(f"--bind {n}={p}" for n, p in binds.items())
-                 + " --out " + ",".join(outputs))
+                 + " --out " + ",".join(outputs)
+                 + " --compile-opts compile_options.pb")
     with open(os.path.join(outdir, "manifest.json"), "w") as f:
         json.dump({"order": order, "request": request, "binds": binds,
                    "outputs": outputs,
