@@ -68,6 +68,12 @@ def test_export_native_bundle(tmp_path):
     import os
     assert not os.path.exists(f"{out}/bind/x.npy")
     assert "--bind x=" not in man["serve_cmd"]
+    # full jax CompileOptionsProto ships with the bundle and serve_cmd
+    # passes it (the minimal hand-encoded options blow the TPU sflag
+    # budget at real graph scale — see utils/export.py)
+    co = open(f"{out}/compile_options.pb", "rb").read()
+    assert len(co) > 100  # real proto, not the 6-byte minimal encoding
+    assert "--compile-opts compile_options.pb" in man["serve_cmd"]
 
 
 def test_export_streaming_roundtrip(tmp_path):

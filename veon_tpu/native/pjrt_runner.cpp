@@ -121,8 +121,12 @@ int main(int argc, char** argv) {
   std::printf("compiled %s (%zu bytes mlir)\n", mlir_path, mlir.size());
 
   // inputs -> device buffers (.npy descr -> PJRT type via frame codes)
+  std::setvbuf(stdout, nullptr, _IOLBF, 0);  // progress visible under redirect
   std::vector<PJRT_Buffer*> args_buf;
   for (const auto& p : input_paths) {
+    if (args_buf.size() % 50 == 0)
+      std::printf("to_device %zu/%zu...\n", args_buf.size(),
+                  input_paths.size());
     vf::Tensor in;
     if (!vf::parse_npy(p, &in)) {
       std::fprintf(stderr, "cannot read npy %s\n", p.c_str());
@@ -143,7 +147,9 @@ int main(int argc, char** argv) {
   size_t n_out = 0;
   CHECK_OK(vp::num_outputs(exec, &n_out));
   std::vector<PJRT_Buffer*> outs(n_out, nullptr);
+  std::printf("executing (%zu args, %zu outputs)...\n", args_buf.size(), n_out);
   CHECK_OK(vp::execute(exec, args_buf, &outs));
+  std::printf("execute dispatched; reading back...\n");
 
   for (size_t i = 0; i < n_out; ++i) {
     PJRT_Buffer_Type type;

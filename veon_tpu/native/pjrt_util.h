@@ -276,8 +276,15 @@ inline std::string to_device(PJRT_Client* client, PJRT_Device* device,
   bh.type = type;
   bh.dims = dims;
   bh.num_dims = ndim;
+  // kImmutableOnlyDuringCall: the plugin must consume `data` before the
+  // call returns, so done_with_host_buffer resolves immediately (or is
+  // never deferred). Under kImmutableUntilTransferCompletes a LAZY proxy
+  // plugin (remote-terminal backends that flush transfers on demand) can
+  // leave that event unresolved indefinitely for large buffers — observed
+  // as a hang on the full VEON param set while a toy module sailed
+  // through. The extra host-side copy is once per bind / request tensor.
   bh.host_buffer_semantics =
-      PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+      PJRT_HostBufferSemantics_kImmutableOnlyDuringCall;
   bh.device = device;
   std::string e = check(g_api->PJRT_Client_BufferFromHostBuffer(&bh));
   if (!e.empty()) return e;
@@ -299,7 +306,6 @@ inline std::string execute(PJRT_LoadedExecutable* exec,
                            std::vector<PJRT_Buffer*>* outs) {
   PJRT_Buffer* const* arg_list = args.data();
   PJRT_Buffer** out_list = outs->data();
-  PJRT_Event* done = nullptr;
   PJRT_ExecuteOptions eopts{};
   eopts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
   PJRT_LoadedExecutable_Execute_Args ex{};
@@ -310,11 +316,16 @@ inline std::string execute(PJRT_LoadedExecutable* exec,
   ex.num_devices = 1;
   ex.num_args = args.size();
   ex.output_lists = &out_list;
-  ex.device_complete_events = &done;
-  std::string e = check(g_api->PJRT_LoadedExecutable_Execute(&ex));
-  if (!e.empty()) return e;
-  if (!await_event(done, &e)) return e;
-  return "";
+  // Deliberately DON'T request device_complete_events: lazy remote-proxy
+  // plugins resolve completion only on READBACK (their block_until_ready
+  // is a no-op by design), so awaiting the execute event dead-locks on
+  // large graphs (observed: toy module fine, full VEON graph hung
+  // indefinitely / relay dropped the long-lived wait). The output
+  // ToHostBuffer event in to_host() is the real synchronization point —
+  // the same "force readback, never block_until_ready" rule the python
+  // serving path follows on such backends.
+  ex.device_complete_events = nullptr;
+  return check(g_api->PJRT_LoadedExecutable_Execute(&ex));
 }
 
 // fetch type/dims/bytes of a device buffer to host
