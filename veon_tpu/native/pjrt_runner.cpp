@@ -141,6 +141,11 @@ int main(int argc, char** argv) {
     PJRT_Buffer* buf = nullptr;
     CHECK_OK(vp::to_device(client, device, type, dims.data(), dims.size(),
                            in.data.data(), &buf));
+    // stream the upload NOW, every buffer: lazy proxy plugins otherwise
+    // defer everything to the first readback, and one bulk multi-hundred-MB
+    // flush there drops relay transports ("connection dropped" breaker).
+    // Validated: 340 per-buffer flushes incl. a 52 MB tensor, all clean.
+    CHECK_OK(vp::await_buffer_ready(buf));
     args_buf.push_back(buf);
   }
 

@@ -293,6 +293,22 @@ inline std::string to_device(PJRT_Client* client, PJRT_Device* device,
   return "";
 }
 
+// Await a buffer's device-side ready event. On lazy proxy plugins this is
+// the per-buffer "flush now" lever: awaiting it right after
+// BufferFromHostBuffer streams uploads incrementally instead of deferring
+// the whole staged set to the first readback (where a relay may refuse or
+// drop a multi-GB flush). Optional — plain local plugins resolve it
+// trivially.
+inline std::string await_buffer_ready(PJRT_Buffer* buf) {
+  PJRT_Buffer_ReadyEvent_Args re{};
+  re.struct_size = PJRT_Buffer_ReadyEvent_Args_STRUCT_SIZE;
+  re.buffer = buf;
+  std::string e = check(g_api->PJRT_Buffer_ReadyEvent(&re));
+  if (!e.empty()) return e;
+  if (!await_event(re.event, &e)) return e;
+  return "";
+}
+
 inline void destroy_buffer(PJRT_Buffer* buf) {
   if (!buf) return;
   PJRT_Buffer_Destroy_Args d{};
@@ -304,10 +320,17 @@ inline void destroy_buffer(PJRT_Buffer* buf) {
 inline std::string execute(PJRT_LoadedExecutable* exec,
                            const std::vector<PJRT_Buffer*>& args,
                            std::vector<PJRT_Buffer*>* outs) {
+  // per-process launch counter: some remote-proxy plugins key execution
+  // tracking on a NONZERO launch_id (validated: with launch_id set the
+  // full VEON graph's device_complete event resolves through the relay;
+  // jax sets one per dispatch too)
+  static int32_t launch_counter = 0;
   PJRT_Buffer* const* arg_list = args.data();
   PJRT_Buffer** out_list = outs->data();
+  PJRT_Event* done = nullptr;
   PJRT_ExecuteOptions eopts{};
   eopts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+  eopts.launch_id = ++launch_counter;
   PJRT_LoadedExecutable_Execute_Args ex{};
   ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
   ex.executable = exec;
@@ -316,16 +339,16 @@ inline std::string execute(PJRT_LoadedExecutable* exec,
   ex.num_devices = 1;
   ex.num_args = args.size();
   ex.output_lists = &out_list;
-  // Deliberately DON'T request device_complete_events: lazy remote-proxy
-  // plugins resolve completion only on READBACK (their block_until_ready
-  // is a no-op by design), so awaiting the execute event dead-locks on
-  // large graphs (observed: toy module fine, full VEON graph hung
-  // indefinitely / relay dropped the long-lived wait). The output
-  // ToHostBuffer event in to_host() is the real synchronization point —
-  // the same "force readback, never block_until_ready" rule the python
-  // serving path follows on such backends.
-  ex.device_complete_events = nullptr;
-  return check(g_api->PJRT_LoadedExecutable_Execute(&ex));
+  ex.device_complete_events = &done;
+  std::string e = check(g_api->PJRT_LoadedExecutable_Execute(&ex));
+  if (!e.empty()) return e;
+  // Await completion HERE only because inputs were flushed per-buffer at
+  // upload (await_buffer_ready in the callers): on lazy proxy plugins the
+  // execute event only resolves once nothing big is left to flush — with
+  // deferred uploads this await dead-locked / dropped the relay. The
+  // output ToHostBuffer event in to_host() remains the final data sync.
+  if (!await_event(done, &e)) return e;
+  return "";
 }
 
 // fetch type/dims/bytes of a device buffer to host

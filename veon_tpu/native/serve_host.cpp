@@ -125,9 +125,13 @@ struct PjrtHandler : Handler {
       PJRT_Buffer* buf = nullptr;
       err = veon_pjrt::to_device(client, device, type, dims.data(),
                                  dims.size(), t->data.data(), &buf);
+      // per-tensor flush (see the bind loop / pjrt_util.h rationale)
+      if (err.empty()) err = veon_pjrt::await_buffer_ready(buf);
       if (err.empty()) {
         args[i] = buf;
         owned.push_back(buf);
+      } else if (buf) {
+        veon_pjrt::destroy_buffer(buf);
       }
     }
     std::vector<PJRT_Buffer*> outs(n_out, nullptr);
@@ -309,6 +313,10 @@ int main(int argc, char** argv) {
         PJRT_Buffer* buf = nullptr;
         e = veon_pjrt::to_device(pjrt.client, pjrt.device, type, dims.data(),
                                  dims.size(), t.data.data(), &buf);
+        // flush NOW, one bind at a time: lazy proxy plugins defer the
+        // upload to first use, and one deferred multi-hundred-MB flush at
+        // the first request drops relay-style transports (pjrt_util.h)
+        if (e.empty()) e = veon_pjrt::await_buffer_ready(buf);
         if (!e.empty()) {
           std::fprintf(stderr, "bind %s: %s\n", name.c_str(), e.c_str());
           return 1;
