@@ -1252,6 +1252,12 @@ def cmd_export(args):
         if args.num_temporal > 1:
             export_streaming_native(outdir, preset=args.preset,
                                     num_temporal=args.num_temporal)
+        elif args.preset == "veon_tiny_test":
+            # ~1000x-smaller bundle with the same contract: the native
+            # daemon's end-to-end integration smoke (utils/export.py)
+            from ..utils.export import export_tiny_native
+
+            export_tiny_native(outdir)
         else:
             if args.preset != "veon_b":
                 # the single-frame flagship bundle is the veon_b entry()
@@ -1259,7 +1265,8 @@ def cmd_export(args):
                 # produce a daemon that rejects the user's request shapes
                 raise SystemExit(
                     "export --native without --num-temporal exports the "
-                    "veon_b flagship graph only; use --num-temporal > 1 "
+                    "veon_b flagship graph only (or veon_tiny_test for the "
+                    "daemon integration smoke); use --num-temporal > 1 "
                     "for preset-parameterized streaming bundles")
             export_flagship_native(outdir)
         print("exported native bundle:", outdir,

@@ -243,6 +243,47 @@ def export_flagship_native(outdir: str) -> str:
         request_args=("imgs", "depth_imgs"), out_names=("pred",))
 
 
+def export_tiny_native(outdir: str) -> str:
+    """veon_tiny_test-config native bundle: the same request/bind/output
+    contract as the flagship bundle at ~1000x less compute — the
+    END-TO-END INTEGRATION SMOKE for the native daemon (compile + bind +
+    serve a frame on a real PJRT device in minutes, no full-scale graph)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..cli.shapes import example_batch
+    from ..configs import presets
+    from ..model.veon import VeonModel, fusion_rule
+    from ..nn import text as text_mod
+
+    cfg = presets.veon_tiny_test()
+    model = VeonModel(cfg=cfg)
+    imgs, depth, metas = example_batch(cfg, B=1)
+    # tiny preset has no separate depth-image geometry: feed the depth
+    # tower the same spatial frame (estimate_depth resizes internally)
+    depth_imgs = jnp.zeros(imgs.shape, imgs.dtype)
+    prompts, refl = text_mod.build_vocabulary(cfg.vocabulary)
+    ovw = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (len(prompts) + 1, cfg.san.clip_embed_dim)).astype(np.float32))
+    variables = jax.jit(model.init, static_argnames=("train", "method"))(
+        jax.random.PRNGKey(0), imgs, depth_imgs, metas, ovw, train=False,
+        method=VeonModel.full_forward)
+    membership = text_mod.merge_matrix(refl)
+
+    def fn(params, imgs, depth_imgs, metas, ovw):
+        out = model.apply(params, imgs, depth_imgs, metas, ovw, train=False,
+                          method=VeonModel.full_forward)
+        merged = text_mod.merge_classes_max(out["sem_occ_raw"], membership,
+                                            axis=-1)
+        return (fusion_rule(merged, out["bin_occ"]),)
+
+    return export_native_bundle(
+        fn, (variables, imgs, depth_imgs, metas, ovw), outdir,
+        arg_names=("params", "imgs", "depth_imgs", "metas", "ovw"),
+        request_args=("imgs", "depth_imgs"), out_names=("pred",))
+
+
 def _build_streaming(preset: str, num_temporal: int,
                      compute_dtype: Optional[str] = None):
     """(fn, example_args) for the streaming serving step — shared by the
