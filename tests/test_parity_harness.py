@@ -129,3 +129,22 @@ def test_tolerance_table_covers_all_emitted_boundaries(dump_dir):
         base = name.split(".")[0]
         assert base in BOUNDARIES or name in BOUNDARIES or base in (
             "lift_fused_2d",), f"no default tolerance for {name}"
+
+
+def test_dump_script_is_standalone():
+    """dump_reference.py runs inside the TORCH environment (reference repo +
+    checkpoints) — it must import NOTHING beyond stdlib at module level (no
+    jax, no veon_tpu, not even numpy/torch: those load lazily inside
+    functions so `--help` works anywhere)."""
+    import ast
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "veon_tpu",
+                        "parity", "dump_reference.py")
+    tree = ast.parse(open(path).read())
+    tops = [n for n in ast.walk(tree)
+            if isinstance(n, (ast.Import, ast.ImportFrom))
+            and n.col_offset == 0]
+    names = {a.name if isinstance(n, ast.Import) else n.module
+             for n in tops for a in getattr(n, "names", [])}
+    assert names <= {"argparse", "json", "os"}, names
