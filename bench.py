@@ -21,6 +21,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_ITERS = 10
 
 
+def _wait_for_claim(budget_s: float = 600.0):
+    """The chip is time-shared and a dead native session can wedge its claim
+    for up to that session's claim_timeout (observed round 4); probe with a
+    trivial op until claimable so a transient wedge doesn't turn the round's
+    benchmark into a spurious failure."""
+    import subprocess
+
+    t0 = time.perf_counter()
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float((jnp.ones((2,))+1).sum()))")
+    while True:
+        left = budget_s - (time.perf_counter() - t0)
+        if left <= 0:
+            print("bench: claim probe budget exhausted; proceeding anyway",
+                  file=sys.stderr)
+            return
+        try:
+            subprocess.run([sys.executable, "-c", probe], check=True,
+                           timeout=min(180.0, left), capture_output=True)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            print(f"bench: chip not claimable yet "
+                  f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
+            time.sleep(20)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -119,4 +145,7 @@ def _measure_fp32(iters: int = 6):
 
 
 if __name__ == "__main__":
+    # probe in a SUBPROCESS before this process touches jax: the probe's
+    # claim releases on its exit, then the benchmark claims cleanly
+    _wait_for_claim()
     main()
