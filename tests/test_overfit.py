@@ -69,3 +69,11 @@ def test_stage1_depth_pretrain_overfits():
     r = stage1_overfit(steps=30, lr=1e-3, log_every=30)
     # measured -74% @ 30 steps; assert -40%
     assert r["loss1"] < 0.60 * r["loss0"], (r["loss0"], r["loss1"], r["curve"])
+
+
+def test_stage1_zoe_overfits():
+    """The ZoeDepth-NK stage-1 partition (zoe_trainable: BEiT frozen except
+    LoRA; MiDaS decoder + bins head train) also OPTIMIZES — measured -36%
+    @30 steps (2.14 -> 1.36); assert -25%."""
+    r = stage1_overfit(steps=30, lr=1e-3, log_every=30, depth_mode="zoe")
+    assert r["loss1"] < 0.75 * r["loss0"], (r["loss0"], r["loss1"], r["curve"])

@@ -126,34 +126,56 @@ def stage2_overfit(steps: int = 40, lr: float = 1e-3, warmup_iters: int = 5,
 
 
 def stage1_overfit(steps: int = 40, lr: float = 1e-3, warmup_iters: int = 5,
-                   seed: int = 0, log_every: int = 10) -> Dict:
+                   seed: int = 0, log_every: int = 10,
+                   depth_mode: str = "dav2") -> Dict:
     """N steps of the real stage-1 depth-pretrain step on one fixed batch.
 
     GT is a SMOOTH synthetic depth field (structure a LoRA-rank-2 + DPT-head
     partition can actually fit; per-pixel noise would measure capacity, not
     optimization). Loss = SILog + 0.05*bin-CE (view_transformer_raw.py:498).
+    depth_mode="zoe" runs the ZoeDepth-NK tower with its own freeze rule
+    (zoe_trainable) instead of DA-V2's.
     """
     import jax
     import jax.numpy as jnp
 
     from ..configs.base import DepthConfig, GridConfig, LossConfig
-    from ..nn.dpt import DepthAnythingV2
-    from ..train.depth_pretrain import depth_trainable, make_depth_pretrain_step
+    from ..train.depth_pretrain import (depth_trainable,
+                                        make_depth_pretrain_step,
+                                        zoe_trainable)
     from ..train.step import create_train_state, make_optimizer, trainable_mask
 
     grid = GridConfig()
-    dcfg = DepthConfig(encoder="vits", features=8, out_channels=(4, 8, 8, 8),
-                       lora_r=2)
-    model = DepthAnythingV2(cfg=dcfg)
     rng = np.random.default_rng(seed)
+    if depth_mode == "zoe":
+        from ..configs.base import ZoeConfig
+        from ..nn.zoedepth import ZoeDepthNK
+
+        zcfg = ZoeConfig(width=32, depth=2, heads=2, patch_size=16,
+                         hooks=(0, 1, 1, 1), pyramid_channels=(8, 16, 16, 16),
+                         features=8, n_bins=6, bin_embedding_dim=8,
+                         n_attractors=(4, 2, 2, 1), lora_r=2)
+        model = ZoeDepthNK(cfg=zcfg)
+        trainable = zoe_trainable
+        H, W = 64, 96
+        gh, gw = 64, 96
+    else:
+        from ..nn.dpt import DepthAnythingV2
+
+        dcfg = DepthConfig(encoder="vits", features=8,
+                           out_channels=(4, 8, 8, 8), lora_r=2)
+        model = DepthAnythingV2(cfg=dcfg)
+        trainable = depth_trainable
+        H, W = 28, 42
+        gh, gw = 32, 48
     imgs = jnp.asarray(
-        rng.standard_normal((1, 1, 2, 28, 42, 3)).astype(np.float32))
-    yy, xx = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 48),
+        rng.standard_normal((1, 1, 2, H, W, 3)).astype(np.float32))
+    yy, xx = np.meshgrid(np.linspace(0, 1, gh), np.linspace(0, 1, gw),
                          indexing="ij")
     plane = 4.0 + 30.0 * yy + 5.0 * xx  # road-like: depth grows with row
     gt = jnp.asarray(np.stack([plane, plane[::-1]])[None].astype(np.float32))
     variables = jax.jit(model.init)(jax.random.PRNGKey(seed), imgs[0, 0])
-    labels = trainable_mask(variables["params"], depth_trainable)
+    labels = trainable_mask(variables["params"], trainable)
     tx = make_optimizer(lr=lr, warmup_iters=warmup_iters, labels=labels)
     state = create_train_state(model, variables, tx, init_updates=0)
     step = make_depth_pretrain_step(model, tx, grid, LossConfig())
