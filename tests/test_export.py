@@ -137,3 +137,29 @@ def test_benchmark_artifact_tiny(tmp_path):
         argparse.Namespace(artifact=path), n_iters=2, outer=1)
     assert out["metric"] == "tiny_artifact_frames_per_sec"
     assert out["value"] > 0 and out["detail"]["n_inputs"] == 3
+
+
+def test_export_tiny_native_bundle(tmp_path):
+    """The veon_tiny_test native bundle (the daemon's integration smoke)
+    carries the same contract as the flagship bundle: module.mlir +
+    compile_options.pb + one bind per fixed leaf + imgs/depth_imgs as
+    request tensors + a single pred output."""
+    import json
+    import os
+
+    from veon_tpu.utils.export import export_tiny_native
+
+    out = export_tiny_native(str(tmp_path / "tiny"))
+    man = json.load(open(f"{out}/manifest.json"))
+    assert man["request"] == ["imgs", "depth_imgs"]
+    assert man["outputs"] == ["pred"]
+    assert "--compile-opts compile_options.pb" in man["serve_cmd"]
+    assert os.path.getsize(f"{out}/compile_options.pb") > 100
+    mlir = open(f"{out}/module.mlir").read()
+    assert "func.func public @main" in mlir
+    # every non-request leaf is bound from disk
+    for name in man["order"]:
+        if name in man["request"]:
+            assert not os.path.exists(f"{out}/bind/{name}.npy")
+        else:
+            assert os.path.exists(f"{out}/bind/{name}.npy"), name
