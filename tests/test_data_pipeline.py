@@ -164,6 +164,31 @@ def test_dataset_sample_shapes(fixture_root):
     )
 
 
+def test_dataset_raw_uint8_bit_exact(fixture_root):
+    """raw_uint8 samples + in-graph normalization must be BIT-identical to
+    the normalized-float samples (normalization is the last host step, so
+    moving it into the graph loses nothing) — the eval twin of the serving
+    --raw-uint8 contract; `veon_tpu test --raw-uint8` rides this."""
+    from veon_tpu.data.transforms import normalize_in_graph
+
+    root, pkl = fixture_root
+    grid = GridConfig(x=(-40, 40, 4.0), y=(-40, 40, 4.0), z=(-1, 5.4, 1.6),
+                      depth=(1.0, 45.0, 5.5))
+    kw = dict(infos=load_infos(pkl), data_cfg=_data_cfg(), grid=grid,
+              num_temporal=2, data_root=root)
+    s_f32 = NuScenesOccDataset(**kw)[1]
+    s_u8 = NuScenesOccDataset(raw_uint8=True, **kw)[1]
+    assert s_u8["imgs"].dtype == np.uint8
+    assert s_u8["depth_imgs"].dtype == np.uint8
+    assert s_u8["imgs"].nbytes * 4 == s_f32["imgs"].nbytes
+    np.testing.assert_array_equal(
+        np.asarray(normalize_in_graph(s_u8["imgs"], "clipsan")), s_f32["imgs"])
+    np.testing.assert_array_equal(
+        np.asarray(normalize_in_graph(s_u8["depth_imgs"],
+                                      _data_cfg().depth_norm_method)),
+        s_f32["depth_imgs"])
+
+
 @pytest.mark.parametrize("mode", ["thread", "process"])
 def test_loader_batches_and_order(fixture_root, mode):
     """Both worker modes (GIL-bound threads / forked processes) must yield
@@ -275,6 +300,45 @@ def test_load_cached_depth_torch_interop(tmp_path):
     base_t = str(tmp_path / "tok2-CAM_FRONT")
     torch.save(torch.from_numpy(d), base_t + ".tensor")
     np.testing.assert_allclose(_load_cached_depth(base_t), d, rtol=0)
+
+
+def test_write_depth_cache_layout_idempotent_pipelined(tmp_path):
+    """write_depth_cache (veon_depth_cache.py:120-168 counterpart): token-CAM
+    .npy layout under <dir>/<token[:2]>/<token>/, idempotent re-runs, and the
+    overlapped pipeline (pipeline>1) writes byte-identical files to the
+    serial pass."""
+    import jax.numpy as jnp
+
+    from veon_tpu.train.loop import write_depth_cache
+
+    cams = ["CAM_FRONT", "CAM_BACK"]
+
+    class _Loader:
+        def __iter__(self):
+            for i in range(3):
+                yield {"token": [f"tok{i}"],
+                       "depth_imgs": np.full((1, 1, 2, 4, 5), i, np.float32)}
+
+    def depth_fn(x):
+        return jnp.asarray(x) * 2.0
+
+    logs = []
+    n1 = write_depth_cache(depth_fn, _Loader(), str(tmp_path / "a"), cams,
+                           log_fn=logs.append, pipeline=1)
+    n2 = write_depth_cache(depth_fn, _Loader(), str(tmp_path / "b"), cams,
+                           log_fn=logs.append, pipeline=3)
+    assert n1 == n2 == 6
+    for i in range(3):
+        tok = f"tok{i}"
+        for cam in cams:
+            pa = tmp_path / "a" / tok[:2] / tok / f"{tok}-{cam}.npy"
+            pb = tmp_path / "b" / tok[:2] / tok / f"{tok}-{cam}.npy"
+            np.testing.assert_array_equal(np.load(pa), np.load(pb))
+            np.testing.assert_array_equal(np.load(pa),
+                                          np.full((4, 5), 2.0 * i, np.float32))
+    # idempotent: a second pass over an existing cache writes nothing
+    assert write_depth_cache(depth_fn, _Loader(), str(tmp_path / "a"), cams,
+                             log_fn=logs.append) == 0
 
 
 def test_normalize_in_graph_matches_host_normalizers():

@@ -115,6 +115,40 @@ def test_depth_pretrain_step():
     assert float(jnp.abs(lora - new_lora).max()) > 0
 
 
+def test_depth_pretrain_step_norm_in_graph_parity():
+    """Stage-1 with raw uint8 frames + norm_in_graph must reproduce the
+    host-normalized float path's losses exactly (DataConfig.raw_uint8)."""
+    from veon_tpu.data.transforms import NORMALIZERS
+    from veon_tpu.train.step import create_train_state
+
+    grid = GridConfig()
+    dcfg = DepthConfig(encoder="vits", features=8, out_channels=(4, 8, 8, 8),
+                       lora_r=2)
+    model = DepthAnythingV2(cfg=dcfg)
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, size=(1, 1, 2, 28, 42, 3)).astype(np.uint8)
+    host = NORMALIZERS["depthanythingv2"](raw.astype(np.float32))
+    gt = jnp.asarray(rng.uniform(1, 40, size=(1, 2, 32, 48)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.asarray(host[0, 0]))
+    variables_copy = jax.tree_util.tree_map(jnp.array, variables)
+    labels = trainable_mask(variables["params"], depth_trainable)
+    tx = make_optimizer(labels=labels)
+
+    step_f32 = make_depth_pretrain_step(model, tx, grid, LossConfig())
+    _, losses_f32 = step_f32(create_train_state(model, variables, tx,
+                                                init_updates=0),
+                             {"depth_imgs": jnp.asarray(host), "gt_depth": gt})
+    step_u8 = make_depth_pretrain_step(model, tx, grid, LossConfig(),
+                                       norm_in_graph="depthanythingv2")
+    _, losses_u8 = step_u8(create_train_state(model, variables_copy, tx,
+                                              init_updates=0),
+                           {"depth_imgs": jnp.asarray(raw), "gt_depth": gt})
+    for k, v in losses_f32.items():
+        np.testing.assert_allclose(np.asarray(losses_u8[k]), np.asarray(v),
+                                   rtol=1e-6, err_msg=k)
+
+
 def test_param_table_runs():
     cfg = presets.veon_tiny_test()
     model = VeonModel(cfg=cfg)

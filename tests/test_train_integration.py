@@ -64,6 +64,9 @@ def test_dataset_to_train_step(fixture):
     )
     labels = trainable_mask(variables["params"], stage2_trainable)
     tx = make_optimizer(labels=labels)
+    # the step donates its state; keep an independent copy of the init
+    # variables for the raw-uint8 leg below
+    variables_copy = jax.tree_util.tree_map(jnp.array, variables)
     state = create_train_state(model, variables, tx)
     membership = text_mod.merge_matrix(refl)
     step = make_train_step(model, tx, cfg, membership, mesh=None)
@@ -72,6 +75,31 @@ def test_dataset_to_train_step(fixture):
     batch["epoch"] = jnp.asarray(0, jnp.int32)
     state, losses = step(state, batch)
     assert np.isfinite(float(losses["loss_total"]))
+
+    # raw_uint8 mode: uint8 batch + in-graph normalization must reproduce
+    # the float path's losses exactly (normalization is bit-exact, so the
+    # two graphs see identical model inputs) — certifies `train --raw-uint8`
+    import dataclasses
+
+    cfg_u8 = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, raw_uint8=True))
+    ds_u8 = NuScenesOccDataset(infos=load_infos(pkl), data_cfg=cfg_u8.data,
+                               grid=cfg_u8.grid, num_temporal=1, is_train=True,
+                               data_root=root)
+    batch_u8 = next(iter(DataLoader(ds_u8, batch_size=1, shuffle=False,
+                                    num_workers=1)))
+    for k in ("token", "gt_depth", "mask_lidar"):
+        batch_u8.pop(k)
+    assert batch_u8["imgs"].dtype == np.uint8
+    batch_u8 = _to_device(batch_u8)
+    batch_u8["ov_weight"] = ovw
+    batch_u8["epoch"] = jnp.asarray(0, jnp.int32)
+    step_u8 = make_train_step(model, tx, cfg_u8, membership, mesh=None)
+    state_u8 = create_train_state(model, variables_copy, tx)
+    _, losses_u8 = step_u8(state_u8, batch_u8)
+    for k, v in losses.items():
+        np.testing.assert_allclose(np.asarray(losses_u8[k]), np.asarray(v),
+                                   rtol=1e-6, err_msg=k)
 
 
 def test_distill_gradient_reaches_semantic_branch():

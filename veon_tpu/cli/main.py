@@ -30,9 +30,14 @@ _INIT_MEMO: dict = {}
 
 
 def _build_cfg(args):
+    import dataclasses
+
     from ..configs import presets
 
     cfg = getattr(presets, args.preset)(num_temporal=args.num_temporal)
+    if getattr(args, "raw_uint8", False):
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, raw_uint8=True))
     return cfg
 
 
@@ -317,10 +322,20 @@ def cmd_test(args):
     from ..model.veon import VeonModel
     import functools
 
+    # --raw-uint8: the loader ships post-aug uint8 frames (4x less H2D —
+    # the eval twin of the serving mode; bit-exact, normalization is the
+    # host pipeline's last step) and the normalizers run in-graph.
+    raw_u8 = bool(getattr(args, "raw_uint8", False))
+    if raw_u8:
+        from ..data.transforms import normalize_in_graph
+
     # variables passed explicitly: closing over them would inline the full
     # parameter set as HLO constants (breaks this backend's remote compile)
     @functools.partial(jax.jit, static_argnames=())
     def _predict(variables, imgs, depth_imgs, metas, ovw):
+        if raw_u8:
+            imgs = normalize_in_graph(imgs, "clipsan")
+            depth_imgs = normalize_in_graph(depth_imgs, cfg.data.depth_norm_method)
         out = model.apply(variables, imgs, depth_imgs, metas, ovw, train=False,
                           method=VeonModel.full_forward)
         merged = text_mod.merge_classes_max(out["sem_occ_raw"], membership, axis=-1)
@@ -332,7 +347,7 @@ def cmd_test(args):
     ds = NuScenesOccDataset(
         infos=load_infos(args.ann), data_cfg=cfg.data, grid=cfg.grid,
         num_temporal=cfg.num_temporal, is_train=False, data_root=args.data_root,
-        load_lidar_depth=False,
+        load_lidar_depth=False, raw_uint8=raw_u8,
     )
     loader = DataLoader(ds, batch_size=1, shuffle=False, num_workers=args.workers,
                         drop_last=False)
@@ -353,11 +368,12 @@ def cmd_test(args):
 
                 variables["params"], variables["batch_stats"] = fuse_conv_bn(
                     variables["params"], variables.get("batch_stats", {}))
-            sweep[step_n] = evaluate_occ(predict, loader, ovw)
+            sweep[step_n] = evaluate_occ(predict, loader, ovw,
+                                         pipeline=getattr(args, "pipeline", 1))
             print(f"step {step_n}: {json.dumps(sweep[step_n])}")
         print(json.dumps({"sweep": sweep}, indent=2))
         return {"sweep": sweep}
-    res = evaluate_occ(predict, loader, ovw)
+    res = evaluate_occ(predict, loader, ovw, pipeline=getattr(args, "pipeline", 1))
     print(json.dumps(res, indent=2))
     return res
 
@@ -462,6 +478,11 @@ def cmd_cache_depth(args):
 
     @jax.jit
     def depth_fn(depth_imgs):
+        if cfg.data.raw_uint8:
+            from ..data.transforms import normalize_in_graph
+
+            depth_imgs = normalize_in_graph(depth_imgs,
+                                            cfg.data.depth_norm_method)
         return model.apply(variables, depth_imgs, method=type(model).estimate_depth)
 
     ds = NuScenesOccDataset(
@@ -532,7 +553,10 @@ def cmd_pretrain_depth(args):
     tx = make_optimizer(lr=args.lr, labels=labels,
                         accum_steps=getattr(args, "accum_steps", 1))
     state = create_train_state(model, variables, tx, init_updates=0)
-    step = make_depth_pretrain_step(model, tx, cfg.grid, cfg.loss)
+    step = make_depth_pretrain_step(
+        model, tx, cfg.grid, cfg.loss,
+        norm_in_graph=(cfg.data.depth_norm_method
+                       if cfg.data.raw_uint8 else None))
 
     ds = NuScenesOccDataset(
         infos=load_infos(args.ann), data_cfg=cfg.data, grid=cfg.grid,
@@ -555,6 +579,17 @@ def cmd_pretrain_depth(args):
 
 
 def cmd_benchmark(args):
+    if getattr(args, "eval_loop", False):
+        # Eval-loop protocol (`tools/test.py:247-266` counterpart): per-frame
+        # H2D + forward + uint8 grid readback through the real loader, not
+        # bench.py's on-device scan. utils/eval_bench.py for the legs.
+        from ..utils.eval_bench import run as _eval_run
+
+        dtype = os.environ.get("VEON_ENTRY_DTYPE", "bfloat16")
+        _eval_run(n_frames=args.frames, preset=args.preset, dtype=dtype,
+                  workers=args.workers,
+                  raw_uint8=bool(getattr(args, "raw_uint8", False)))
+        return
     if getattr(args, "artifact", None):
         print(json.dumps(_benchmark_artifact(args)))
         return
@@ -936,6 +971,7 @@ def cmd_vis(args):
         ds = NuScenesOccDataset(
             infos=load_infos(args.ann), data_cfg=cfg.data, grid=cfg.grid,
             num_temporal=cfg.num_temporal, is_train=False, data_root=args.data_root,
+            raw_uint8=False,  # vis denormalizes for overlays; keep floats
         )
         batch = next(iter(DataLoader(ds, batch_size=1, shuffle=False,
                                      num_workers=1, drop_last=False)))
@@ -1349,6 +1385,18 @@ def main(argv=None):
         p.add_argument("--artifact", default=None,
                        help="benchmark: time an exported .stablehlo artifact "
                             "(the deployed graph) instead of the live model")
+        p.add_argument("--eval", dest="eval_loop", action="store_true",
+                       help="benchmark: time the `test` eval loop instead "
+                            "(per-frame H2D + forward + uint8 grid readback "
+                            "over a synthetic shard; tools/test.py protocol)")
+        p.add_argument("--frames", type=int, default=12,
+                       help="benchmark --eval: synthetic shard size")
+        p.add_argument("--pipeline", type=int, default=1,
+                       help="test: in-flight predictions in the eval loop "
+                            "(1 = strictly serial protocol; 2 overlaps "
+                            "frame N+1's H2D under frame N's compute — "
+                            "measured +16%% with --raw-uint8 on the "
+                            "tunneled chip, slower without)")
         p.add_argument("--native", action="store_true",
                        help="export: emit the native-serving bundle "
                             "(module.mlir + --bind npys + manifest) for "
@@ -1366,7 +1414,10 @@ def main(argv=None):
                             "<data-root>/bevdetv2-nuscenes)")
         p.add_argument("--raw-uint8", action="store_true",
                        help="serve: accept raw uint8 RGB frames and "
-                            "normalize in-graph (4x less request transport)")
+                            "normalize in-graph (4x less request transport). "
+                            "test / benchmark --eval: the loader ships "
+                            "post-aug uint8 frames and normalization moves "
+                            "in-graph — bit-exact, 4x less per-frame H2D")
         p.add_argument("--weights-dir", default=None,
                        help="selftest: reference-README ckpts/ layout dir — "
                             "runs the weights-arrival drill (convert + load "

@@ -262,6 +262,12 @@ class DataConfig:
     flip: bool = False
     crop_h: Tuple[float, float] = (0.0, 0.0)
     resize_test: float = 0.0
+    # raw_uint8: the dataset emits post-aug uint8 frames and normalization
+    # runs IN-GRAPH (data/transforms.normalize_in_graph, fused by XLA into
+    # the first conv). Bit-exact vs host normalization; 4x less host RAM,
+    # loader pickle (process mode), and H2D per batch. Consumed by
+    # train/step.py, train/depth_pretrain.py, and the eval/serve paths.
+    raw_uint8: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -60,6 +60,8 @@ class NuScenesOccDataset:
       token: str
       imgs:        (F, N, H, W, 3)  clipsan-normalized, frame 0 = current
       depth_imgs:  (F, N, dh, dw, 3) DA-V2 (or midas) normalized
+        — with raw_uint8=True both are post-aug uint8 RGB instead and the
+        consumer normalizes in-graph (4x smaller H2D, bit-exact)
         — or depth_preds (F, N, h/2, w/2) when a depth cache is wired
       metas: sensor2egos/ego2globals (F, N, 4, 4), intrins (F, N, 3, 3),
         post_rots (F, N, 3, 3), post_trans (F, N, 3), bda (3, 3),
@@ -81,6 +83,7 @@ class NuScenesOccDataset:
         load_lidar_depth: bool = True,
         load_occ_gt: bool = True,
         seed: int = 0,
+        raw_uint8: Optional[bool] = None,
     ):
         self.infos = list(infos)
         self.data_cfg = data_cfg
@@ -92,6 +95,16 @@ class NuScenesOccDataset:
         self.load_lidar_depth = bool(load_lidar_depth)
         self.load_occ_gt = bool(load_occ_gt)
         self._seed = int(seed)
+        # raw_uint8: emit post-aug uint8 images and leave normalization to
+        # the consumer's graph (data/transforms.normalize_in_graph). PIL
+        # resampling operates on uint8 and normalization is the LAST host
+        # step, so this is bit-exact vs the normalized float path while
+        # shrinking the sample (and its H2D upload) 4x — the eval twin of
+        # the serving `--raw-uint8` mode. No effect on depth_preds (cache
+        # mode ships metric depth, not images). Defaults from
+        # DataConfig.raw_uint8 so every consumer of this cfg agrees.
+        self.raw_uint8 = bool(getattr(data_cfg, "raw_uint8", False)
+                              if raw_uint8 is None else raw_uint8)
 
     def __len__(self) -> int:
         return len(self.infos)
@@ -143,8 +156,9 @@ class NuScenesOccDataset:
                 if cfg.depth_norm_method == "depthanythingv2" else (dH, dW)
         norm_depth = T.NORMALIZERS[cfg.depth_norm_method]
 
-        imgs = np.empty((F, N, H, W, 3), np.float32)
-        depth_imgs = None if use_cache else np.empty((F, N, fdh, fdw, 3), np.float32)
+        img_dt = np.uint8 if self.raw_uint8 else np.float32
+        imgs = np.empty((F, N, H, W, 3), img_dt)
+        depth_imgs = None if use_cache else np.empty((F, N, fdh, fdw, 3), img_dt)
         depth_preds = np.empty((F, N, dH, dW), np.float32) if use_cache else None
         sensor2egos = np.empty((F, N, 4, 4), np.float32)
         ego2globals = np.empty((F, N, 4, 4), np.float32)
@@ -169,7 +183,8 @@ class NuScenesOccDataset:
                 fci = frame["cams"][cam]
                 fimg = img if f == 0 else open_image_native(self._path(fci["data_path"]))
                 fimg = T.apply_image_aug(fimg, aug)
-                imgs[f, ci] = T.normalize_clipsan(np.asarray(fimg))
+                imgs[f, ci] = (np.asarray(fimg) if self.raw_uint8
+                               else T.normalize_clipsan(np.asarray(fimg)))
                 if use_cache:
                     tok = frame["token"]
                     base = os.path.join(self.depth_cache_dir, tok[:2], tok,
@@ -179,7 +194,8 @@ class NuScenesOccDataset:
                     dimg = fimg.resize((dW, dH), resample=Image.BICUBIC)
                     if (fdh, fdw) != (dH, dW):
                         dimg = dimg.resize((fdw, fdh), resample=Image.BICUBIC)
-                    depth_imgs[f, ci] = norm_depth(np.asarray(dimg))
+                    depth_imgs[f, ci] = (np.asarray(dimg) if self.raw_uint8
+                                         else norm_depth(np.asarray(dimg)))
                 s2e, e2g = self._cam_se3(fci)
                 sensor2egos[f, ci] = s2e
                 ego2globals[f, ci] = e2g

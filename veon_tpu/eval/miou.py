@@ -58,18 +58,23 @@ class MIoUMetric:
         self.use_lidar_mask = use_lidar_mask
         self.hist = np.zeros((num_classes, num_classes), np.int64)
         self.cnt = 0
-        self._jit_hist = jax.jit(confusion_hist, static_argnames=("num_classes",))
 
     def add_batch(self, pred, gt, mask_lidar=None, mask_camera=None):
-        mask = None
-        if self.use_image_mask:
-            mask = mask_camera
-        elif self.use_lidar_mask:
-            mask = mask_lidar
-        h = self._jit_hist(jnp.asarray(pred), jnp.asarray(gt),
-                           None if mask is None else jnp.asarray(mask),
-                           num_classes=self.num_classes)
-        self.hist += np.asarray(h, dtype=np.int64)
+        """Host-side numpy bincount. The jit-able `confusion_hist` exists for
+        accumulating ON the device that produced the grids (distributed eval
+        merges); routing this per-sample update through jax's default device
+        instead costs a full H2D+D2H round-trip per frame — measured 1.21 s
+        vs ~30 ms on the tunneled-TPU backend (NOTES round 4, eval_bench)."""
+        nc = self.num_classes
+        pred = np.asarray(pred).reshape(-1).astype(np.int64)
+        gt = np.asarray(gt).reshape(-1).astype(np.int64)
+        valid = (gt >= 0) & (gt < nc)
+        if self.use_image_mask and mask_camera is not None:
+            valid &= np.asarray(mask_camera).reshape(-1) != 0
+        elif self.use_lidar_mask and mask_lidar is not None:
+            valid &= np.asarray(mask_lidar).reshape(-1) != 0
+        idx = gt[valid] * nc + np.clip(pred[valid], 0, nc - 1)
+        self.hist += np.bincount(idx, minlength=nc * nc).reshape(nc, nc)
         self.cnt += 1
 
     def count_miou(self) -> Tuple[List[str], np.ndarray, float]:

@@ -42,17 +42,25 @@ def zoe_trainable(path: Tuple[str, ...]) -> bool:
 
 def make_depth_pretrain_step(model: DepthAnythingV2, tx, grid: GridConfig,
                              cfg: LossConfig, pred_downsample: int = 8,
-                             gt_downsample: int = 16):
+                             gt_downsample: int = 16,
+                             norm_in_graph: str = None):
     """One stage-1 step. batch: depth_imgs (B,F,N,Hd,Wd,3), gt_depth
     (B,N,H,W) at the full input resolution.
 
     The reference min-pools pred by 8 and GT by 16 before the loss
     (`veon_depth_pretrain.py:136-137`); pred comes out at H/2 x W/2 so both
     land on the same grid.
+
+    `norm_in_graph`: normalizer name when the loader ships raw uint8 frames
+    (DataConfig.raw_uint8) — bit-exact in-graph twin of the host pipeline.
     """
 
     def loss_fn(params, batch):
         imgs = batch["depth_imgs"][:, 0]  # current frame
+        if norm_in_graph is not None:
+            from ..data.transforms import normalize_in_graph
+
+            imgs = normalize_in_graph(imgs, norm_in_graph)
         B, N = imgs.shape[:2]
         pred = model.apply({"params": params}, imgs.reshape((-1,) + imgs.shape[2:]))
         h2, w2 = batch["gt_depth"].shape[-2] // 2, batch["gt_depth"].shape[-1] // 2

@@ -206,6 +206,14 @@ def make_train_step(
 
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
+        # cfg.data.raw_uint8: the loader shipped post-aug uint8 frames;
+        # normalize in-graph (bit-exact twin of the host normalizers, XLA
+        # fuses it into the first conv — 4x less H2D/pickle per batch)
+        imgs = batch["imgs"]
+        if cfg.data.raw_uint8:
+            from ..data.transforms import normalize_in_graph
+
+            imgs = normalize_in_graph(imgs, "clipsan")
         # depth source priority: precomputed metric depth ("depth" from the
         # dryrun / "depth_preds" from the disk cache) else run the frozen
         # depth tower on "depth_imgs" (veon_temporal.py:139-144)
@@ -214,12 +222,16 @@ def make_train_step(
         elif "depth_preds" in batch:
             depth = batch["depth_preds"]
         else:
+            depth_imgs = batch["depth_imgs"]
+            if cfg.data.raw_uint8:
+                depth_imgs = normalize_in_graph(
+                    depth_imgs, cfg.data.depth_norm_method)
             depth = jax.lax.stop_gradient(
-                model.apply(variables, batch["depth_imgs"],
+                model.apply(variables, depth_imgs,
                             method=type(model).estimate_depth)
             )
         outputs, mutated = model.apply(
-            variables, batch["imgs"], depth, batch["metas"],
+            variables, imgs, depth, batch["metas"],
             batch["ov_weight"], train=True, mutable=["batch_stats"],
         )
         loss_metas = batch["metas"]

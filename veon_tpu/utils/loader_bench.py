@@ -23,7 +23,8 @@ import time
 import numpy as np
 
 
-def make_frames(root: str, n_frames: int, hw=(900, 1600), quality: int = 90):
+def make_frames(root: str, n_frames: int, hw=(900, 1600), quality: int = 90,
+                grid_shape=(200, 200, 16)):
     from PIL import Image
 
     cams = ["CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
@@ -73,9 +74,9 @@ def make_frames(root: str, n_frames: int, hw=(900, 1600), quality: int = 90):
     os.makedirs(occ_dir, exist_ok=True)
     rng2 = np.random.default_rng(1)
     np.savez(os.path.join(occ_dir, "labels.npz"),
-             semantics=rng2.integers(0, 18, size=(200, 200, 16)).astype(np.uint8),
-             mask_lidar=np.ones((200, 200, 16), np.uint8),
-             mask_camera=np.ones((200, 200, 16), np.uint8))
+             semantics=rng2.integers(0, 18, size=grid_shape).astype(np.uint8),
+             mask_lidar=np.ones(grid_shape, np.uint8),
+             mask_camera=np.ones(grid_shape, np.uint8))
     pkl = os.path.join(root, "infos.pkl")
     with open(pkl, "wb") as f:
         pickle.dump({"infos": infos, "metadata": {"version": "bench"}}, f)
@@ -83,7 +84,7 @@ def make_frames(root: str, n_frames: int, hw=(900, 1600), quality: int = 90):
 
 
 def run(n_frames=100, workers=4, hw=(900, 1600), keep=None, num_temporal=1,
-        mode="thread"):
+        mode="thread", raw_uint8=False):
     from ..configs import presets
     from ..data.loader import DataLoader
     from ..data.nuscenes import NuScenesOccDataset, load_infos
@@ -98,7 +99,7 @@ def run(n_frames=100, workers=4, hw=(900, 1600), keep=None, num_temporal=1,
         ds = NuScenesOccDataset(infos=load_infos(pkl), data_cfg=cfg.data,
                                 grid=cfg.grid, num_temporal=num_temporal,
                                 is_train=False, data_root=root,
-                                load_lidar_depth=False)
+                                load_lidar_depth=False, raw_uint8=raw_uint8)
         loader = DataLoader(ds, batch_size=1, shuffle=False,
                             num_workers=workers, drop_last=False, mode=mode)
         # warm one batch (pool spinup, file cache)
@@ -110,7 +111,8 @@ def run(n_frames=100, workers=4, hw=(900, 1600), keep=None, num_temporal=1,
         dt = time.perf_counter() - t0
         fps = n / dt
         print(f"loader: {n} frames in {dt:.1f}s = {fps:.2f} frames/s "
-              f"({workers} {mode} workers, {os.cpu_count()} cores) — "
+              f"({workers} {mode} workers, {os.cpu_count()} cores"
+              f"{', raw-uint8' if raw_uint8 else ''}) — "
               f"{fps * 6:.1f} JPEG decodes+transforms/s")
         return fps
     finally:
@@ -119,7 +121,7 @@ def run(n_frames=100, workers=4, hw=(900, 1600), keep=None, num_temporal=1,
 
 
 def scaling_table(n_frames=60, hw=(900, 1600), worker_counts=(1, 2, 4),
-                  modes=("thread", "process")):
+                  modes=("thread", "process"), raw_uint8=False):
     """Worker-scaling evidence (round-3 verdict weak #3): frames/s per
     (mode, workers). On a 1-core box thread counts beyond 1 expose GIL
     serialization directly (no scaling possible => flat ~= GIL-free,
@@ -127,7 +129,8 @@ def scaling_table(n_frames=60, hw=(900, 1600), worker_counts=(1, 2, 4),
     rows = {}
     for mode in modes:
         for w in worker_counts:
-            rows[(mode, w)] = run(n_frames, w, hw, mode=mode)
+            rows[(mode, w)] = run(n_frames, w, hw, mode=mode,
+                                  raw_uint8=raw_uint8)
     print("\nmode      workers  frames/s")
     for (mode, w), fps in rows.items():
         print(f"{mode:<9} {w:>7}  {fps:.3f}")
@@ -143,10 +146,13 @@ if __name__ == "__main__":
     ap.add_argument("--mode", choices=("thread", "process"), default="thread")
     ap.add_argument("--scaling", action="store_true",
                     help="print the full (mode x workers) scaling table")
+    ap.add_argument("--raw-uint8", action="store_true",
+                    help="uint8 samples (no host normalization; 4x less "
+                         "batch assembly + process-mode pickle)")
     ap.add_argument("--keep", default=None)
     args = ap.parse_args()
     if args.scaling:
-        scaling_table(args.frames, tuple(args.size))
+        scaling_table(args.frames, tuple(args.size), raw_uint8=args.raw_uint8)
     else:
         run(args.frames, args.workers, tuple(args.size), args.keep,
-            args.num_temporal, args.mode)
+            args.num_temporal, args.mode, raw_uint8=args.raw_uint8)
