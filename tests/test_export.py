@@ -115,6 +115,42 @@ def test_export_streaming_roundtrip(tmp_path):
                                    rtol=2e-5, atol=2e-6, err_msg=k)
 
 
+def test_export_streaming_raw_uint8(tmp_path):
+    """export --raw-uint8: the frozen streaming step takes RAW uint8 frames
+    (4x less request transport for every artifact consumer) and must agree
+    exactly with the normalized-float step fed the host-normalized copies
+    of the same frames (normalize_in_graph is the host normalizers' bit-
+    exact twin)."""
+    from veon_tpu.data.transforms import NORMALIZERS
+    from veon_tpu.utils.export import _build_streaming, export_streaming
+
+    path, example = export_streaming(
+        str(tmp_path / "t2u8.stablehlo"), preset="veon_tiny_test",
+        num_temporal=2, raw_uint8=True)
+    variables, imgs, depth_imgs, m1, ovw, prev_vox, prev_l2g, te = example
+    assert imgs.dtype == jnp.uint8 and depth_imgs.dtype == jnp.uint8
+    loaded = load_inference(path)
+    out = loaded(*example)
+    assert out["pred"].dtype in (np.uint8, jnp.uint8)
+
+    # normalized-float twin on the SAME frames, host-normalized
+    fn_f32, _ = _build_streaming("veon_tiny_test", 2)
+    from veon_tpu.configs import presets
+
+    depth_m = presets.veon_tiny_test().data.depth_norm_method
+    live = fn_f32(variables,
+                  jnp.asarray(NORMALIZERS["clipsan"](np.asarray(imgs))),
+                  jnp.asarray(NORMALIZERS[depth_m](np.asarray(depth_imgs))),
+                  m1, ovw, prev_vox, prev_l2g, te)
+    np.testing.assert_array_equal(np.asarray(out["pred"]),
+                                  np.asarray(live["pred"]))
+    # compiled-vs-eager noise: same budget as the float roundtrip test plus
+    # the compiled normalize (measured max rel 3.7e-5 on CPU)
+    np.testing.assert_allclose(np.asarray(out["early_vox"]),
+                               np.asarray(live["early_vox"]),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_benchmark_artifact_tiny(tmp_path):
     """`benchmark --artifact` (benchmark_trt.py counterpart): a serialized
     artifact is deserialized, fed synthetic inputs at its frozen shapes

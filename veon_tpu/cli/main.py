@@ -1271,7 +1271,14 @@ def cmd_export(args):
     the inference graph to a StableHLO artifact loadable without model code
     (utils/export.py). With --num-temporal > 1 the STREAMING serving step
     is exported instead — the temporal cache rides as arguments, so any
-    consumer gets steady-state T_N cost by keeping the cache itself."""
+    consumer gets steady-state T_N cost by keeping the cache itself.
+    --raw-uint8 freezes a step that takes raw uint8 frames and normalizes
+    in-graph (4x less request transport for every artifact consumer)."""
+    if getattr(args, "raw_uint8", False) and args.num_temporal <= 1:
+        raise SystemExit(
+            "export --raw-uint8 needs --num-temporal > 1 (the streaming "
+            "step exporter); the single-frame flagship artifact is the "
+            "entry() graph, which is frozen at normalized-float inputs")
     if args.native:
         # bundle for the zero-python consumers (native/serve_host.cpp,
         # native/pjrt_runner.cpp): raw module.mlir + --bind npys + manifest
@@ -1287,7 +1294,9 @@ def cmd_export(args):
             else "veon_native")
         if args.num_temporal > 1:
             export_streaming_native(outdir, preset=args.preset,
-                                    num_temporal=args.num_temporal)
+                                    num_temporal=args.num_temporal,
+                                    raw_uint8=getattr(args, "raw_uint8",
+                                                      False))
         elif args.preset == "veon_tiny_test":
             # ~1000x-smaller bundle with the same contract: the native
             # daemon's end-to-end integration smoke (utils/export.py)
@@ -1314,7 +1323,9 @@ def cmd_export(args):
         path = os.path.join(args.work_dir,
                             f"veon_infer_t{args.num_temporal}.stablehlo")
         path, _ = export_streaming(path, preset=args.preset,
-                                   num_temporal=args.num_temporal)
+                                   num_temporal=args.num_temporal,
+                                   raw_uint8=getattr(args, "raw_uint8",
+                                                     False))
         print("exported:", path)
         return
     from ..utils.export import export_flagship

@@ -166,7 +166,8 @@ def export_flagship(path: str = "work_dir/veon_b_infer.stablehlo") -> str:
 
 
 def export_streaming(path: str, preset: str = "veon_b",
-                     num_temporal: int = 2) -> Tuple[str, Any]:
+                     num_temporal: int = 2,
+                     raw_uint8: bool = False) -> Tuple[str, Any]:
     """Export the STREAMING temporal serving step (num_temporal >= 2).
 
     The artifact is the stateless function under serve/streaming.py's
@@ -179,12 +180,14 @@ def export_streaming(path: str, preset: str = "veon_b",
        text_embed) -> dict(pred, retrieval, early_vox, ...).
     Returns (path, example_args) so callers can save binding tensors.
     """
-    fn, example = _build_streaming(preset, num_temporal)
+    fn, example = _build_streaming(preset, num_temporal,
+                                   raw_uint8=raw_uint8)
     return export_inference(fn, example, path), example
 
 
 def export_streaming_native(outdir: str, preset: str = "veon_b",
-                            num_temporal: int = 2) -> str:
+                            num_temporal: int = 2,
+                            raw_uint8: bool = False) -> str:
     """Native-consumer bundle for the streaming step: module.mlir + bound
     leaves (variables / fixed-rig metas incl. the presorted lift streams /
     classifier) + manifest. Per-request: the frame tensors, the frame's
@@ -195,7 +198,8 @@ def export_streaming_native(outdir: str, preset: str = "veon_b",
     as next frame's prev_vox."""
     import jax
 
-    fn, example = _build_streaming(preset, num_temporal)
+    fn, example = _build_streaming(preset, num_temporal,
+                                   raw_uint8=raw_uint8)
     variables, imgs, depth_imgs, m1, ovw, prev_vox, prev_l2g, te = example
     rig = {k: v for k, v in m1.items() if k != "lidarego2global"}
     l2g = m1["lidarego2global"]
@@ -285,11 +289,17 @@ def export_tiny_native(outdir: str) -> str:
 
 
 def _build_streaming(preset: str, num_temporal: int,
-                     compute_dtype: Optional[str] = None):
+                     compute_dtype: Optional[str] = None,
+                     raw_uint8: bool = False):
     """(fn, example_args) for the streaming serving step — shared by the
     jax-envelope exporter, the native-bundle exporter (which re-splits the
     args itself: lidarego2global is per-request there), and the sequential
-    benchmark (cli.main._benchmark_streaming)."""
+    benchmark (cli.main._benchmark_streaming).
+
+    raw_uint8: the exported step takes raw uint8 HWC RGB frames and runs
+    the normalizers in-graph (TemporalSession normalize=) — the deployed
+    artifact / native bundle then gets the same 4x request-transport cut
+    as the live `serve --raw-uint8` path, bit-exactly."""
     import dataclasses
 
     import jax
@@ -321,8 +331,17 @@ def _build_streaming(preset: str, num_temporal: int,
             jax.random.PRNGKey(0), imgs, depth_imgs, metas, ovw, train=False,
             method=VeonModel.full_forward)
     membership = text_mod.merge_matrix(refl)
-    sess = TemporalSession(model, variables, ovw, membership=membership,
-                           jit=False)
+    sess = TemporalSession(
+        model, variables, ovw, membership=membership, jit=False,
+        normalize=(("clipsan", cfg.data.depth_norm_method)
+                   if raw_uint8 else None))
+    if raw_uint8:
+        # the artifact's frozen input signature must be uint8
+        rng_u8 = np.random.default_rng(1)
+        imgs = jnp.asarray(rng_u8.integers(
+            0, 256, size=imgs.shape, dtype=np.uint8))
+        depth_imgs = jnp.asarray(rng_u8.integers(
+            0, 256, size=depth_imgs.shape, dtype=np.uint8))
     m1 = {k: metas[k][:, :1] for k in
           ("sensor2egos", "ego2globals", "intrins", "post_rots",
            "post_trans")}
