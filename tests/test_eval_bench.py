@@ -87,13 +87,15 @@ def test_benchmark_eval_cli_dispatch(monkeypatch):
 
     calls = {}
 
-    def fake_run(n_frames, preset, dtype, workers, raw_uint8):
+    def fake_run(n_frames, preset, dtype, workers, raw_uint8, pipeline):
         calls.update(n_frames=n_frames, preset=preset, dtype=dtype,
-                     workers=workers, raw_uint8=raw_uint8)
+                     workers=workers, raw_uint8=raw_uint8, pipeline=pipeline)
         return {}
 
     monkeypatch.setattr(eval_bench, "run", fake_run)
     cli.main(["benchmark", "--eval", "--frames", "3",
-              "--preset", "veon_tiny_test", "--workers", "1", "--raw-uint8"])
+              "--preset", "veon_tiny_test", "--workers", "1", "--raw-uint8",
+              "--pipeline", "2"])
     assert calls == dict(n_frames=3, preset="veon_tiny_test",
-                         dtype="bfloat16", workers=1, raw_uint8=True)
+                         dtype="bfloat16", workers=1, raw_uint8=True,
+                         pipeline=2)

@@ -66,6 +66,35 @@ def test_retrieval_cli_end_to_end_from_csv(tmp_path, monkeypatch):
     assert np.isfinite(summary["mAP_visible"])
 
 
+def test_retrieval_cli_raw_uint8_parity(tmp_path, monkeypatch):
+    """`test --retrieval --raw-uint8`: the dataset ships post-aug uint8
+    frames and feats_fn normalizes in-graph — the summary must match the
+    normalized-float path bit-exactly (round-4 advisor: the flag used to
+    leak raw 0-255 pixels into the model)."""
+    root = str(tmp_path)
+    pkl = _make_fixture(root)
+    csv_path = _write_retrieval_fixture(root)
+
+    def veon_tiny_fixture(num_temporal=1):
+        cfg = presets.veon_tiny_test(num_temporal=num_temporal)
+        return dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, src_size=(90, 160)))
+
+    monkeypatch.setattr(presets, "veon_tiny_fixture", veon_tiny_fixture,
+                        raising=False)
+    from veon_tpu.cli.main import main
+
+    base_args = [
+        "test", "--retrieval", "--preset", "veon_tiny_fixture",
+        "--data-root", root, "--ann", pkl,
+        "--retrieval-items", csv_path, "--workers", "1",
+    ]
+    ref = main(base_args)
+    raw = main(base_args + ["--raw-uint8"])
+    assert raw["mAP"] == pytest.approx(ref["mAP"], rel=1e-5)
+    assert raw["mAP_visible"] == pytest.approx(ref["mAP_visible"], rel=1e-5)
+
+
 def test_occ_eval_cli_end_to_end(tmp_path, monkeypatch):
     """`veon_tpu test` end-to-end on the mini fixture: dataset -> tiny model
     forward -> fusion rule -> Occ3D mIoU summary, with --fuse-conv-bn

@@ -335,7 +335,10 @@ def cmd_test(args):
     def _predict(variables, imgs, depth_imgs, metas, ovw):
         if raw_u8:
             imgs = normalize_in_graph(imgs, "clipsan")
-            depth_imgs = normalize_in_graph(depth_imgs, cfg.data.depth_norm_method)
+            # depth-cache mode ships float metric depth, not images —
+            # only uint8 frames take the in-graph normalizer
+            if depth_imgs.dtype == jnp.uint8:
+                depth_imgs = normalize_in_graph(depth_imgs, cfg.data.depth_norm_method)
         out = model.apply(variables, imgs, depth_imgs, metas, ovw, train=False,
                           method=VeonModel.full_forward)
         merged = text_mod.merge_classes_max(out["sem_occ_raw"], membership, axis=-1)
@@ -420,8 +423,20 @@ def cmd_test_retrieval(args):
 
     import functools
 
+    # --raw-uint8 parity with cmd_test: the dataset inherits
+    # DataConfig.raw_uint8 and ships post-aug uint8 frames, so the
+    # retrieval graph must normalize in-graph too (it consumes raw
+    # pixel values otherwise — the serve path guards this mismatch
+    # via check_img_dtype).
+    raw_u8 = bool(getattr(cfg.data, "raw_uint8", False))
+    if raw_u8:
+        from ..data.transforms import normalize_in_graph
+
     @functools.partial(jax.jit)
     def feats_fn(variables, imgs, depth_imgs, metas, ovw):
+        if raw_u8:
+            imgs = normalize_in_graph(imgs, "clipsan")
+            depth_imgs = normalize_in_graph(depth_imgs, cfg.data.depth_norm_method)
         out = model.apply(variables, imgs, depth_imgs, metas, ovw, train=False,
                           method=VeonModel.full_forward)
         # (B, Z, Y, X, C) -> (B, X, Y, Z, C) to match GT voxel indexing
@@ -588,7 +603,8 @@ def cmd_benchmark(args):
         dtype = os.environ.get("VEON_ENTRY_DTYPE", "bfloat16")
         _eval_run(n_frames=args.frames, preset=args.preset, dtype=dtype,
                   workers=args.workers,
-                  raw_uint8=bool(getattr(args, "raw_uint8", False)))
+                  raw_uint8=bool(getattr(args, "raw_uint8", False)),
+                  pipeline=getattr(args, "pipeline", 1))
         return
     if getattr(args, "artifact", None):
         print(json.dumps(_benchmark_artifact(args)))

@@ -146,12 +146,19 @@ def run(n_frames: int = 12, preset: str = "veon_b", dtype: str = "bfloat16",
         hist_ms = (time.perf_counter() - t0) / len(results) * 1e3
 
         # --- leg 2: e2e, exactly `veon_tpu test` ------------------------
+        # fps comes from the loop's own "inference done" line (loader +
+        # device path only); the wall clock around evaluate_occ also pays
+        # dataset.evaluate, which leg 3 reports separately — including it
+        # here would understate the loop as the shard grows.
         lines = []
         t0 = time.perf_counter()
         evaluate_occ(predict, loader, ovw, log_fn=lines.append,
                      pipeline=pipeline)
         e2e_s = time.perf_counter() - t0
-        e2e_fps = n_frames / e2e_s
+        import re
+
+        m = re.search(r"in ([0-9.]+)s", lines[0]) if lines else None
+        e2e_fps = n_frames / float(m.group(1)) if m else n_frames / e2e_s
 
         out = {
             "metric": f"{preset}_eval_loop_frames_per_sec",
