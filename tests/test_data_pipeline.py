@@ -354,3 +354,131 @@ def test_normalize_in_graph_matches_host_normalizers():
         want = T.NORMALIZERS[m](u8)
         got = np.asarray(T.normalize_in_graph(jnp.asarray(u8), m))
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6, err_msg=m)
+
+
+# ---------------------------------------------------------------------------
+# BDA augmentation (LoadAnnotationsBEVDepth, loading.py:1340-1420)
+# ---------------------------------------------------------------------------
+
+
+def test_bda_matrix_matches_reference_bev_transform():
+    """bda_matrix == flip @ (scale @ rot) with the reference's rotation
+    convention (bev_transform, loading.py:1355-1375), all flip combos."""
+    import itertools
+
+    rng = np.random.default_rng(3)
+    for flip_dx, flip_dy in itertools.product([False, True], repeat=2):
+        rot = float(rng.uniform(-22.5, 22.5))
+        scale = float(rng.uniform(0.9, 1.1))
+        h = rot / 180.0 * np.pi
+        rot_mat = np.array([[np.cos(h), -np.sin(h), 0.0],
+                            [np.sin(h), np.cos(h), 0.0], [0.0, 0.0, 1.0]])
+        flip_mat = np.eye(3)
+        if flip_dx:
+            flip_mat = flip_mat @ np.diag([-1.0, 1.0, 1.0])
+        if flip_dy:
+            flip_mat = flip_mat @ np.diag([1.0, -1.0, 1.0])
+        want = flip_mat @ (np.diag([scale] * 3) @ rot_mat)
+        got = T.bda_matrix(rot, scale, flip_dx, flip_dy)
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(T.bda_matrix(), np.eye(3, dtype=np.float32))
+
+
+def test_sample_bda_augmentation_eval_identity_and_train_ratios():
+    rng = np.random.default_rng(0)
+    # defaults (published recipe): identity even in train
+    assert T.sample_bda_augmentation(_data_cfg(), True, rng) == (0.0, 1.0, False, False)
+    cfg = dataclasses.replace(_data_cfg(), bda_flip_dx_ratio=1.0,
+                              bda_flip_dy_ratio=1.0, bda_rot_lim=(5.0, 5.0))
+    # eval is ALWAYS identity regardless of config (loading.py:1346-1351)
+    assert T.sample_bda_augmentation(cfg, False, rng) == (0.0, 1.0, False, False)
+    r, s, fdx, fdy = T.sample_bda_augmentation(cfg, True, rng)
+    assert (r, s, fdx, fdy) == (5.0, 1.0, True, True)
+
+
+def test_flip_occ_gt_axes():
+    rng = np.random.default_rng(1)
+    base = {k: rng.integers(0, 18, size=(5, 6, 3)).astype(np.int32)
+            for k in ("voxel_semantics", "mask_lidar", "mask_camera")}
+    s = {k: v.copy() for k, v in base.items()}
+    T.flip_occ_gt(s, False, False)
+    for k in base:
+        np.testing.assert_array_equal(s[k], base[k])
+    s = {k: v.copy() for k, v in base.items()}
+    T.flip_occ_gt(s, True, False)
+    np.testing.assert_array_equal(s["voxel_semantics"],
+                                  base["voxel_semantics"][::-1])
+    s = {k: v.copy() for k, v in base.items()}
+    T.flip_occ_gt(s, True, True)
+    for k in base:
+        np.testing.assert_array_equal(s[k], base[k][::-1, ::-1])
+        assert s[k].flags["C_CONTIGUOUS"]
+
+
+def test_bda_flip_geometry_matches_gt_flip():
+    """A flipped bda routes an ego point to the X-mirrored voxel — exactly
+    the cell the GT flip (axis 0 of the (X,Y,Z) arrays) relabels, so input
+    and supervision stay aligned (the round-4 verdict's V18 trap)."""
+    import jax.numpy as jnp
+    from veon_tpu.geometry.frustum import voxel_ranks
+
+    grid = GridConfig(x=(-8.0, 8.0, 1.0), y=(-8.0, 8.0, 1.0),
+                      z=(-1.0, 3.0, 1.0), depth=(1.0, 9.0, 0.5))
+    nx, ny, nz = grid.size
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-7.9, 7.9, size=(1, 1, 1, 1, 64, 3)).astype(np.float32)
+    pts[..., 2] = rng.uniform(-0.9, 2.9, size=pts.shape[:-1])
+    # keep points off cell boundaries so mirrored cells are exact
+    pts[..., :2] = np.floor(pts[..., :2]) + 0.5
+
+    bda_f = T.bda_matrix(flip_dx=True)
+    flipped = np.einsum("ij,...j->...i", bda_f, pts)
+    r_id, _ = voxel_ranks(jnp.asarray(pts), grid)
+    r_fl, _ = voxel_ranks(jnp.asarray(flipped), grid)
+    r_id, r_fl = np.asarray(r_id).ravel(), np.asarray(r_fl).ravel()
+    ix, rest = r_id % nx, r_id // nx
+    np.testing.assert_array_equal(r_fl, rest * nx + (nx - 1 - ix))
+    # the GT flip relabels exactly those cells: (X,Y,Z) axis 0 reversal
+    sem = rng.integers(0, 18, size=(nx, ny, nz)).astype(np.int32)
+    s = {"voxel_semantics": sem.copy()}
+    T.flip_occ_gt(s, True, False)
+    iy, iz = rest % ny, rest // ny
+    np.testing.assert_array_equal(s["voxel_semantics"][nx - 1 - ix, iy, iz],
+                                  sem[ix, iy, iz])
+
+
+def test_dataset_bda_forced_flip_end_to_end(fixture_root):
+    """Forced flip_dx in train: bda matrix carries the sign flip, occ GT is
+    reversed along X, images/metas are otherwise identical draws."""
+    root, pkl = fixture_root
+    grid = GridConfig(x=(-40, 40, 4.0), y=(-40, 40, 4.0), z=(-1, 5.4, 1.6),
+                      depth=(1.0, 45.0, 5.5))
+    mk = lambda cfg: NuScenesOccDataset(  # noqa: E731
+        infos=load_infos(pkl), data_cfg=cfg, grid=grid, is_train=True,
+        data_root=root, load_lidar_depth=False)
+    cfg0 = _data_cfg()
+    cfg1 = dataclasses.replace(cfg0, bda_flip_dx_ratio=1.0)
+    s0, s1 = mk(cfg0)[0], mk(cfg1)[0]
+    np.testing.assert_array_equal(s1["metas"]["bda"],
+                                  np.diag([-1, 1, 1]).astype(np.float32))
+    np.testing.assert_array_equal(s0["metas"]["bda"],
+                                  np.eye(3, dtype=np.float32))
+    np.testing.assert_array_equal(s1["voxel_semantics"],
+                                  s0["voxel_semantics"][::-1])
+    np.testing.assert_array_equal(s1["mask_camera"], s0["mask_camera"][::-1])
+    np.testing.assert_array_equal(s1["imgs"], s0["imgs"])
+    np.testing.assert_array_equal(s1["metas"]["post_rots"],
+                                  s0["metas"]["post_rots"])
+
+
+def test_dataset_bda_rot_scale_with_occ_gt_raises(fixture_root):
+    root, pkl = fixture_root
+    grid = GridConfig(x=(-40, 40, 4.0), y=(-40, 40, 4.0), z=(-1, 5.4, 1.6),
+                      depth=(1.0, 45.0, 5.5))
+    cfg = dataclasses.replace(_data_cfg(), bda_rot_lim=(10.0, 10.0))
+    ds = NuScenesOccDataset(infos=load_infos(pkl), data_cfg=cfg, grid=grid,
+                            is_train=True, data_root=root,
+                            load_lidar_depth=False)
+    with pytest.raises(ValueError, match="bda rot/scale"):
+        ds[0]

@@ -262,6 +262,15 @@ class DataConfig:
     flip: bool = False
     crop_h: Tuple[float, float] = (0.0, 0.0)
     resize_test: float = 0.0
+    # BEV data augmentation (bda_aug_conf, loading.py:1340-1352): sampled
+    # per train sample; geometry gets the 3x3 bda matrix, occ GT + masks get
+    # the matching axis flips (loading.py:1411-1420). Defaults = identity /
+    # off, matching the published VEON recipe
+    # (configs/veon/...dav2-nodepthcache.py bda_aug_conf).
+    bda_rot_lim: Tuple[float, float] = (0.0, 0.0)
+    bda_scale_lim: Tuple[float, float] = (1.0, 1.0)
+    bda_flip_dx_ratio: float = 0.0
+    bda_flip_dy_ratio: float = 0.0
     # raw_uint8: the dataset emits post-aug uint8 frames and normalization
     # runs IN-GRAPH (data/transforms.normalize_in_graph, fused by XLA into
     # the first conv). Bit-exact vs host normalization; 4x less host RAM,

@@ -211,6 +211,19 @@ class NuScenesOccDataset:
         cam2camego = sensor2egos[0]
         camego2global = ego2globals[0]
 
+        # BDA sampled once per sample (LoadAnnotationsBEVDepth.__call__,
+        # loading.py:1388-1420): geometry gets the matrix, occ GT the flips.
+        # Rotation/scale have NO voxel-GT counterpart (the reference only
+        # defines them for box GT; its occ recipes pin them to identity), so
+        # allowing them here would silently de-correlate input and GT.
+        bda_rot, bda_scale, flip_dx, flip_dy = T.sample_bda_augmentation(
+            cfg, self.is_train, rng)
+        if self.load_occ_gt and (bda_rot != 0.0 or bda_scale != 1.0):
+            raise ValueError(
+                "bda rot/scale augmentation is unsupported with voxel occ GT "
+                "(no GT-side transform exists — reference loading.py:1411-1420 "
+                "only flips); set bda_rot_lim=(0,0), bda_scale_lim=(1,1)")
+
         sample: Dict[str, Any] = {
             "token": info["token"],
             "imgs": imgs,
@@ -220,7 +233,7 @@ class NuScenesOccDataset:
                 "intrins": intrins,
                 "post_rots": post_rots,
                 "post_trans": post_trans,
-                "bda": T.bda_matrix(),
+                "bda": T.bda_matrix(bda_rot, bda_scale, flip_dx, flip_dy),
                 "lidarego2global": lidarego2global,
                 "prev_lidarego2global": prev_lidarego2global,
                 "cam2camego": cam2camego,
@@ -237,6 +250,7 @@ class NuScenesOccDataset:
             sample["voxel_semantics"] = occ["semantics"].astype(np.int32)
             sample["mask_lidar"] = occ["mask_lidar"].astype(np.int32)
             sample["mask_camera"] = occ["mask_camera"].astype(np.int32)
+            T.flip_occ_gt(sample, flip_dx, flip_dy)
 
         if self.load_lidar_depth and info.get("lidar_path"):
             pts = _load_points(self._path(info["lidar_path"]))

@@ -258,13 +258,14 @@ def bda_matrix(
     flip_dy: bool = False,
 ) -> np.ndarray:
     """3x3 BEV-aug matrix (LoadAnnotationsBEVDepth.bev_transform,
-    loading.py:1355-1375): z-rotation, isotropic scale, axis flips.
+    loading.py:1355-1375): flip @ (scale @ z-rotation), applied to ego
+    points as `bda @ x` (get_lidar_coor; our frustum_to_ego does the same).
     The shipping VEON configs disable BDA sampling (rot/scale identity,
     flip probability 0 — configs/veon/...dav2-nodepthcache.py:123-127),
     so the default identity matches training behavior."""
     h = rotate_deg / 180.0 * np.pi
     rot = np.array(
-        [[np.cos(h), np.sin(h), 0.0], [-np.sin(h), np.cos(h), 0.0], [0.0, 0.0, 1.0]],
+        [[np.cos(h), -np.sin(h), 0.0], [np.sin(h), np.cos(h), 0.0], [0.0, 0.0, 1.0]],
         np.float64,
     )
     m = rot * scale
@@ -273,3 +274,34 @@ def bda_matrix(
     if flip_dy:
         m = np.diag([1.0, -1.0, 1.0]) @ m
     return m.astype(np.float32)
+
+
+def sample_bda_augmentation(cfg, is_train: bool, rng) -> Tuple[float, float, bool, bool]:
+    """Sample (rotate_deg, scale, flip_dx, flip_dy)
+    (LoadAnnotationsBEVDepth.sample_bda_augmentation, loading.py:1340-1352):
+    uniform rotation/scale inside the configured limits, Bernoulli flips.
+    Eval always gets the identity."""
+    if not is_train:
+        return 0.0, 1.0, False, False
+    rotate = float(rng.uniform(*cfg.bda_rot_lim))
+    scale = float(rng.uniform(*cfg.bda_scale_lim))
+    flip_dx = bool(rng.uniform() < cfg.bda_flip_dx_ratio)
+    flip_dy = bool(rng.uniform() < cfg.bda_flip_dy_ratio)
+    return rotate, scale, flip_dx, flip_dy
+
+
+def flip_occ_gt(sample: dict, flip_dx: bool, flip_dy: bool) -> None:
+    """Flip the (X, Y, Z) occ GT + masks in place to match a flipped bda
+    (loading.py:1411-1420): flip_dx negates ego x -> reverse axis 0,
+    flip_dy -> axis 1. Keeps model input (lift through bda) and GT
+    voxel-aligned — the grid is symmetric about 0, so cell i maps to
+    cell (n-1-i) exactly."""
+    for k in ("voxel_semantics", "mask_lidar", "mask_camera"):
+        if k not in sample:
+            continue
+        v = sample[k]
+        if flip_dx:
+            v = v[::-1, ...]
+        if flip_dy:
+            v = v[:, ::-1, ...]
+        sample[k] = np.ascontiguousarray(v)
