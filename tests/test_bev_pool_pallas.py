@@ -121,7 +121,7 @@ def test_presorted_production_geometry_exact():
     bda = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
     args = tuple(map(jnp.asarray, (s2e, K, post_rot, post_tran, bda)))
 
-    pre = lift.precompute_sorted(*args)
+    pre = lift.precompute_sorted(*args, fuse_ds_pool=False)
     from veon_tpu.ops.bev_pool import BEV_POOL_CHUNK
 
     num_cells = B * 200 * 200 * 16
@@ -140,3 +140,91 @@ def test_presorted_production_geometry_exact():
     want = lift._ds_pool(bev_pool(dist, feat, pre["ranks"], grid.size))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+    # fused-pool layout (default precompute): the kernel max-pools its
+    # accumulator in VMEM and writes only the pooled grid — must match
+    # the unfused lift + XLA max-pool at the same production geometry
+    pre_fused = lift.precompute_sorted(*args)
+    assert "rk_pooled" in pre_fused and "rk_sorted" not in pre_fused
+    got_fused = lift.lift_presorted(feat, dist, pre_fused)
+    assert got_fused.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got_fused), np.asarray(got),
+                               rtol=2e-4, atol=2e-4)
+
+
+def _tiny_rig(B=1, N=3, seed=5):
+    rng = np.random.default_rng(seed)
+    s2e = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
+    for n in range(N):
+        th = 2 * np.pi * n / N
+        c, s = np.cos(th), np.sin(th)
+        s2e[:, n, :3, :3] = (
+            np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+            @ np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float32))
+        s2e[:, n, :3, 3] = (0.3 * c, 0.3 * s, 1.0)
+    K = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
+    K[:, :, 0, 0] = K[:, :, 1, 1] = 40.0
+    K[:, :, 0, 2], K[:, :, 1, 2] = 32.0, 16.0
+    post_rot = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
+    post_tran = np.zeros((B, N, 3), np.float32)
+    bda = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    return tuple(map(jnp.asarray, (s2e, K, post_rot, post_tran, bda)))
+
+
+def test_pooled_rank_remap_roundtrip():
+    """Coarse-major remap: every in-grid rank maps to coarse*R + offset with
+    the right coarse cell; overflow ranks are preserved."""
+    from veon_tpu.ops.bev_pool import pooled_rank_remap
+
+    nx, ny, nz, B = 6, 4, 4, 2
+    ds = (2, 2, 2)
+    num_cells = B * nx * ny * nz
+    r = jnp.arange(num_cells + 1)  # includes the overflow sentinel
+    rp = np.asarray(pooled_rank_remap(r, (nx, ny, nz), ds, num_cells))
+    assert rp[-1] == num_cells  # overflow preserved
+    # invertibility: the remap is a bijection on [0, num_cells)
+    assert sorted(rp[:-1].tolist()) == list(range(num_cells))
+    # group consistency: fine cells of one [2,2,2] block share a coarse id
+    fine = [((0 * nz + z) * ny + yy) * nx + xx
+            for z in (0, 1) for yy in (2, 3) for xx in (2, 3)]
+    coarse_ids = {int(rp[f]) // 8 for f in fine}
+    assert len(coarse_ids) == 1
+    offsets = sorted(int(rp[f]) % 8 for f in fine)
+    assert offsets == list(range(8))
+
+
+def test_presorted_pooled_fused_gradients_match_unfused(monkeypatch):
+    """d/d(depth), d/d(feat) through the fused-pool presorted lift ==
+    gradients through the unfused lift + _ds_pool composite (the custom VJP
+    routes the cotangent through jnp.max exactly like _ds_pool does)."""
+    from veon_tpu.configs.base import GridConfig
+    from veon_tpu.lift.lss import LSSLift, two_hot_depth
+
+    grid = GridConfig(x=(-8.0, 8.0, 1.0), y=(-8.0, 8.0, 1.0),
+                      z=(-1.0, 3.0, 1.0), depth=(1.0, 9.0, 0.5))
+    B, N, C = 1, 3, 8
+    lift = LSSLift(grid=grid, input_size=(32, 64), downsample=8,
+                   out_channels=C, ds_feat=(2, 2, 2))
+    args = _tiny_rig(B, N)
+    pre_u = lift.precompute_sorted(*args, fuse_ds_pool=False)
+    pre_f = lift.precompute_sorted(*args, fuse_ds_pool=True)
+    rng = np.random.default_rng(9)
+    hf, wf = 32 // 8, 64 // 8
+    feat = jnp.asarray(rng.standard_normal((B, N, hf, wf, C)).astype(np.float32))
+    metric = jnp.asarray(rng.uniform(1.2, 8.5, size=(B, N, hf, wf)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal(
+        (B, grid.size[2] // 2, grid.size[1] // 2, grid.size[0] // 2, C)
+    ).astype(np.float32))
+
+    def loss(pre, m, f):
+        return jnp.sum(lift.lift_presorted(f, two_hot_depth(m, grid), pre) * cot)
+
+    out_u = loss(pre_u, metric, feat)
+    out_f = loss(pre_f, metric, feat)
+    np.testing.assert_allclose(float(out_f), float(out_u), rtol=1e-5)
+    gm_u, gf_u = jax.grad(lambda m, f: loss(pre_u, m, f), (0, 1))(metric, feat)
+    gm_f, gf_f = jax.grad(lambda m, f: loss(pre_f, m, f), (0, 1))(metric, feat)
+    np.testing.assert_allclose(np.asarray(gm_f), np.asarray(gm_u),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf_f), np.asarray(gf_u),
+                               rtol=1e-4, atol=1e-6)

@@ -20,7 +20,8 @@ from ..configs.base import GridConfig
 from ..geometry.frustum import (create_frustum, frustum_to_ego,
                                 pixel_ray_geometry, voxel_ranks)
 from ..ops.bev_pool import (bev_pool, bev_pool_pallas, bev_pool_pallas_banded,
-                            bev_pool_pallas_banded2, bev_pool_pallas_presorted)
+                            bev_pool_pallas_banded2, bev_pool_pallas_presorted,
+                            bev_pool_pallas_presorted_pooled)
 
 
 def min_pool_depth(depth: jnp.ndarray, downsample: int) -> jnp.ndarray:
@@ -245,7 +246,8 @@ class LSSLift:
         ranks, _ = voxel_ranks(coor, self.grid)
         return ranks
 
-    def precompute_sorted(self, sensor2ego, cam2img, post_rot, post_tran, bda):
+    def precompute_sorted(self, sensor2ego, cam2img, post_rot, post_tran, bda,
+                          fuse_ds_pool: Optional[bool] = None):
         """Full accelerate precompute for a FIXED camera rig (serving): the
         rank sort is done ONCE here, host-side, so the per-frame lift is just
         gather + multiply + kernel stream (`lift_presorted`).
@@ -254,17 +256,38 @@ class LSSLift:
         the sorted prefix — which is what makes the prefix provably lossless,
         unlike `valid_cap`'s static guess). Returns a dict pytree to pass
         through jit boundaries as an ordinary argument.
+
+        fuse_ds_pool (default: auto — on whenever valid): emit ranks in the
+        coarse-major layout (`ops.bev_pool.pooled_rank_remap`) so the
+        per-frame kernel max-pools its accumulator in VMEM and writes only
+        the POOLED grid (the fine (B,nz,ny,nx,C) grid never touches HBM).
+        Invalid under camera sharding: the cross-camera psum must see the
+        FULL-resolution grid (max does not commute with the sum), so
+        psum_axis forces the unfused layout. The emitted dict marks the
+        layout via its KEY ("rk_pooled" vs "rk_sorted") — pytree structure
+        is static through jit, array values are not.
         """
-        from ..ops.bev_pool import BEV_POOL_CHUNK
+        from ..ops.bev_pool import BEV_POOL_CHUNK, pooled_rank_remap
 
         B = sensor2ego.shape[0]
         num_cells = B * int(np.prod(self.grid.size))
+        if fuse_ds_pool is None:
+            fuse_ds_pool = (self.psum_axis is None
+                            and int(np.prod(self.ds_feat)) > 1)
+        if fuse_ds_pool and self.psum_axis is not None:
+            raise ValueError(
+                "fuse_ds_pool under camera sharding: the cam-axis psum needs "
+                "the full-resolution grid before the max-pool")
 
         # one jit for the whole precompute graph: eager op-by-op execution
         # costs a remote compile PER OP on this backend (~minutes total)
         @jax.jit
         def _graph(s2e, k, pr, pt, b):
             ranks = self.precompute_ranks(s2e, k, pr, pt, b)
+            if fuse_ds_pool:
+                dz, dh, dw = self.ds_feat
+                ranks = pooled_rank_remap(ranks, self.grid.size,
+                                          (dz, dh, dw), num_cells)
             rk = ranks.transpose(0, 1, 3, 4, 2).reshape(-1)  # pixel-major
             order = jnp.argsort(rk)
             return ranks, rk[order], order.astype(jnp.int32), jnp.sum(
@@ -277,11 +300,21 @@ class LSSLift:
                     order.shape[0])
         take = jax.jit(lambda o, r: (o[:p_cap], r[:p_cap]))
         order, rk_sorted = take(order, rk_sorted)
-        return {"order": order, "rk_sorted": rk_sorted, "ranks": ranks}
+        rk_key = "rk_pooled" if fuse_ds_pool else "rk_sorted"
+        return {"order": order, rk_key: rk_sorted, "ranks": ranks}
 
     def lift_presorted(self, feat, depth, precomp):
         """Per-frame accelerate lift: `depth` is the (B, N, D, h, w) two-hot
-        distribution; `precomp` from `precompute_sorted` for this rig."""
+        distribution; `precomp` from `precompute_sorted` for this rig.
+        A "rk_pooled" precompute routes to the fused-pool kernel (the ds
+        max-pool runs in VMEM on the accumulator; bit-identical output)."""
+        if "rk_pooled" in precomp:
+            assert self.psum_axis is None, (
+                "pooled presorted lift cannot feed a cam-axis psum")
+            return bev_pool_pallas_presorted_pooled(
+                depth, feat, precomp["order"], precomp["rk_pooled"],
+                precomp["ranks"], self.grid.size, tuple(self.ds_feat),
+            )
         vox = bev_pool_pallas_presorted(
             depth, feat, precomp["order"], precomp["rk_sorted"],
             precomp["ranks"], self.grid.size,

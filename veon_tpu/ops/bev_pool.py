@@ -161,27 +161,25 @@ def _accum_stream(t, s0, s1, vals_hbm, rk_hbm, acc_ref, vals_buf, rk_buf,
         # accumulation while bf16 callers get the 4x MXU rate
         mm_dtype = vals_buf.dtype
         if BEV_POOL_RANK_PACKED:
-            rowi = jax.lax.broadcasted_iota(
-                jnp.int32, (128, BEV_POOL_BLOCK_CELLS), 0)
-            colf = jax.lax.broadcasted_iota(
-                jnp.int32, (128, BEV_POOL_BLOCK_CELLS), 1).astype(jnp.float32)
-            ones11 = jnp.ones((1, 1), jnp.float32)
-            tb = jax.lax.convert_element_type(
-                t * BEV_POOL_BLOCK_CELLS, jnp.float32)
+            # ranks live in LANES (packed layout); the one-hot contraction
+            # needs (cell, point) — build it TRANSPOSED directly by
+            # broadcasting the 128-lane rank row against a sublane cell
+            # iota (pure int32 compares, no fp transpose matmul: the old
+            # lane->sublane K=1 MXU transpose cost 2 extra MXU passes per
+            # 128 points and bound exactness to ranks < 2**24)
+            celli = jax.lax.broadcasted_iota(
+                jnp.int32, (BEV_POOL_BLOCK_CELLS, 128), 0)
+            lanei = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            tb = t * BEV_POOL_BLOCK_CELLS
             for s in range(sub):
-                vlane = rk_buf[slot, s:s + 1, :].astype(jnp.float32)  # (1,128)
-                vcol = jax.lax.dot_general(  # MXU transpose -> (128, 1)
-                    vlane, ones11,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                gid = rowi + (off + s * 128)
+                rk_row = rk_buf[slot, s:s + 1, :] - tb  # (1, 128)
+                gid = lanei + (off + s * 128)
                 valid = (gid >= s0) & (gid < s1)
-                onehot = jnp.where(
-                    (colf == vcol - tb) & valid, 1.0, 0.0).astype(mm_dtype)
+                onehot_t = jnp.where(
+                    (celli == rk_row) & valid, 1.0, 0.0).astype(mm_dtype)
                 acc_ref[:] += jax.lax.dot_general(
-                    onehot, vals_buf[slot, s * 128:(s + 1) * 128, :],
-                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    onehot_t, vals_buf[slot, s * 128:(s + 1) * 128, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
         else:
@@ -213,6 +211,27 @@ def _bev_pool_block_kernel(starts_ref, vals_hbm, rk_hbm, out_ref, acc_ref,
     _accum_stream(t, starts_ref[t], starts_ref[t + 1], vals_hbm, rk_hbm,
                   acc_ref, vals_buf, rk_buf, sem_vals, sem_rk)
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _bev_pool_block_kernel_pooled(pool_r, starts_ref, vals_hbm, rk_hbm,
+                                  out_ref, acc_ref, vals_buf, rk_buf,
+                                  sem_vals, sem_rk):
+    """Fused-pool variant: the caller's ranks are in COARSE-MAJOR layout
+    (pooled_rank_remap — every group of `pool_r` consecutive fine cells is
+    one [dz,dy,dx] pooling group), so after accumulating the block's fine
+    cells the [2,2,2]-style max-pool is a free in-VMEM reduce and only the
+    POOLED rows ever reach HBM (8x less output traffic at the production
+    ds=(2,2,2); the separate XLA max-pool pass — measured 5.4 ms on the
+    335 MB fine grid — disappears). Exact: max commutes with the final
+    dtype cast (round-to-nearest is monotone), so pooled rows match
+    max-pooling the unfused kernel's output bitwise."""
+    t = pl.program_id(0)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    _accum_stream(t, starts_ref[t], starts_ref[t + 1], vals_hbm, rk_hbm,
+                  acc_ref, vals_buf, rk_buf, sem_vals, sem_rk)
+    cells, cp = acc_ref.shape
+    a = acc_ref[:].reshape(cells // pool_r, pool_r, cp)
+    out_ref[:] = jnp.max(a, axis=1).astype(out_ref.dtype)
 
 
 def _bev_pool_block_kernel2(starts_ref, starts2_ref, vals_hbm, rk_hbm,
@@ -277,11 +296,14 @@ def _pad_channels(vals):
 
 
 def _bev_pool_sorted_pallas(rk_sorted, vals_sorted, num_cells, out_dtype,
-                            stream2=None):
+                            stream2=None, pool_r: int = 1):
     """Sorted (P,) ranks + (P, C) weighted values -> (num_cells, C).
 
     stream2: optional second sorted (rk, vals) pair accumulated into the
     same output (used to fuse the banded main pool with the far spray).
+    pool_r > 1: ranks are coarse-major (pooled_rank_remap) and the output is
+    the max over each group of pool_r consecutive fine cells —
+    (num_cells // pool_r, C) — computed in VMEM before any HBM write.
     """
     C = vals_sorted.shape[-1]
     vals_sorted = _pad_channels(vals_sorted)
@@ -299,11 +321,30 @@ def _bev_pool_sorted_pallas(rk_sorted, vals_sorted, num_cells, out_dtype,
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    interpret = jax.devices()[0].platform == "cpu"
+    if pool_r > 1:
+        assert stream2 is None, "pooled kernel is single-stream"
+        assert BEV_POOL_BLOCK_CELLS % pool_r == 0 and num_cells % pool_r == 0
+        out_rows = BEV_POOL_BLOCK_CELLS // pool_r
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            out_specs=pl.BlockSpec((out_rows, Cp), lambda t, *_: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            functools.partial(_bev_pool_block_kernel_pooled, pool_r),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((v_pad // pool_r, Cp), out_dtype),
+            interpret=interpret,
+        )(starts, vals_aug, rk_grp)
+        return out[:num_cells // pool_r, :C]
     out_spec = pl.BlockSpec(
         (BEV_POOL_BLOCK_CELLS, Cp), lambda t, *_: (t, 0),
         memory_space=pltpu.VMEM,
     )
-    interpret = jax.devices()[0].platform == "cpu"
     if stream2 is None:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -422,13 +463,11 @@ def bev_pool_pallas_presorted(depth, feat, order, rk_sorted, ranks, grid_size):
 
 
 def _bev_pool_presorted_fwd(depth, feat, order, rk_sorted, ranks, grid_size):
-    B, N, D, h, w = depth.shape
+    B = depth.shape[0]
     C = feat.shape[-1]
     nx, ny, nz = grid_size
     num_cells = B * nz * ny * nx
-    wts = depth.transpose(0, 1, 3, 4, 2).reshape(-1)
-    pix = (order // D).astype(jnp.int32)
-    vals = feat.reshape(-1, C)[pix] * wts[order][:, None]
+    vals = _presorted_vals(depth, feat, order)
     out = _bev_pool_sorted_pallas(rk_sorted, vals, num_cells, feat.dtype)
     return out.reshape(B, nz, ny, nx, C), (depth, feat, ranks)
 
@@ -441,6 +480,100 @@ def _bev_pool_presorted_bwd(grid_size, res, g):
 
 bev_pool_pallas_presorted.defvjp(_bev_pool_presorted_fwd,
                                  _bev_pool_presorted_bwd)
+
+
+def pooled_rank_remap(ranks, grid_size, ds, num_cells):
+    """Standard flat voxel rank -> COARSE-MAJOR rank for the fused-pool
+    kernel: rank' = coarse_cell * R + fine_offset, where coarse_cell indexes
+    the (nz/dz, ny/dy, nx/dx) pooled grid and fine_offset the [dz,dy,dx]
+    pooling group (R = dz*dy*dx). Sorting the stream by rank' makes every
+    pooling group CONTIGUOUS inside one kernel cell block, so the
+    [2,2,2]-style output max-pool (`LSSLift._ds_pool`) runs in VMEM on the
+    accumulator and the fine grid never touches HBM. Overflow ranks
+    (>= num_cells) are preserved. Static per rig — applied once in
+    `LSSLift.precompute_sorted`.
+    """
+    nx, ny, nz = grid_size
+    dz, dy, dx = ds
+    r = ranks
+    x = r % nx
+    y = (r // nx) % ny
+    zb = r // (nx * ny)
+    z = zb % nz
+    b = zb // nz
+    rr = dz * dy * dx
+    coarse = ((b * (nz // dz) + z // dz) * (ny // dy) + y // dy) * (nx // dx) + x // dx
+    off = ((z % dz) * dy + (y % dy)) * dx + (x % dx)
+    return jnp.where(r >= num_cells, r, coarse * rr + off)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def bev_pool_pallas_presorted_pooled(depth, feat, order, rk_sorted, ranks,
+                                     grid_size, ds):
+    """Accelerate-mode pool with the output max-pool FUSED into the kernel.
+
+    Same contract as `bev_pool_pallas_presorted` + `LSSLift._ds_pool`'s
+    [dz,dy,dx] max — in one kernel pass: `rk_sorted`/`ranks` must be in the
+    coarse-major layout from `pooled_rank_remap` (precompute_sorted emits
+    them when fusing). Returns the POOLED grid (B, nz/dz, ny/dy, nx/dx, C)
+    directly; the (B, nz, ny, nx, C) fine grid is never materialized in HBM
+    (8x less output traffic at ds=(2,2,2), and the standalone XLA max-pool
+    pass — 5.4 ms measured at production scale — disappears).
+
+    Backward (training/temporal paths don't use this op, but exactness is
+    free): recompute the fine grid, route the cotangent through jnp.max's
+    VJP (identical subgradient convention to the unfused `_ds_pool`), then
+    the same scatter-free gather adjoints as the unfused op.
+    """
+    return _bev_pool_presorted_pooled_fwd(depth, feat, order, rk_sorted,
+                                          ranks, grid_size, ds)[0]
+
+
+def _presorted_vals(depth, feat, order):
+    D = depth.shape[2]
+    C = feat.shape[-1]
+    wts = depth.transpose(0, 1, 3, 4, 2).reshape(-1)
+    pix = (order // D).astype(jnp.int32)
+    return feat.reshape(-1, C)[pix] * wts[order][:, None]
+
+
+def _bev_pool_presorted_pooled_fwd(depth, feat, order, rk_sorted, ranks,
+                                   grid_size, ds):
+    B = depth.shape[0]
+    C = feat.shape[-1]
+    nx, ny, nz = grid_size
+    dz, dy, dx = ds
+    num_cells = B * nz * ny * nx
+    vals = _presorted_vals(depth, feat, order)
+    out = _bev_pool_sorted_pallas(rk_sorted, vals, num_cells, feat.dtype,
+                                  pool_r=dz * dy * dx)
+    return (out.reshape(B, nz // dz, ny // dy, nx // dx, C),
+            (depth, feat, order, rk_sorted, ranks))
+
+
+def _bev_pool_presorted_pooled_bwd(grid_size, ds, res, g):
+    depth, feat, order, rk_sorted, ranks = res
+    B, N, D, h, w = depth.shape
+    C = feat.shape[-1]
+    nx, ny, nz = grid_size
+    rr = int(np.prod(ds))
+    num_cells = B * nz * ny * nx
+    # fine grid in the coarse-major layout (cheap relative to the towers'
+    # backward, and only paid when something differentiates the serving op)
+    vals = _presorted_vals(depth, feat, order)
+    fine = _bev_pool_sorted_pallas(rk_sorted, vals, num_cells, feat.dtype)
+    pool = lambda v: jnp.max(v.reshape(num_cells // rr, rr, C), axis=1)  # noqa: E731
+    _, pool_vjp = jax.vjp(pool, fine)
+    (g_fine,) = pool_vjp(g.reshape(num_cells // rr, C))
+    gpad = jnp.concatenate([g_fine, jnp.zeros((1, C), g_fine.dtype)], axis=0)
+    g_at = gpad[jnp.minimum(ranks, num_cells)]  # (B,N,D,h,w,C)
+    ddepth = jnp.einsum("bnhwc,bndhwc->bndhw", feat, g_at)
+    dfeat = jnp.einsum("bndhw,bndhwc->bnhwc", depth, g_at)
+    return ddepth, dfeat, None, None, None
+
+
+bev_pool_pallas_presorted_pooled.defvjp(_bev_pool_presorted_pooled_fwd,
+                                        _bev_pool_presorted_pooled_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -98,10 +98,13 @@ def prepare_camshard_metas(
     pre = []
     for i in range(num_shards):
         sl = slice(i * nl, (i + 1) * nl)
+        # fuse_ds_pool=False: shards' grids psum over the cam axis at FULL
+        # resolution before the ds max-pool (max does not commute with the
+        # cross-camera sum), so the fused-pool layout is invalid here
         pre.append(lift.precompute_sorted(
             metas["sensor2keyegos"][:, 0, sl], metas["intrins"][:, 0, sl],
             metas["post_rots"][:, 0, sl], metas["post_trans"][:, 0, sl],
-            metas["bda"],
+            metas["bda"], fuse_ds_pool=False,
         ))
     p_max = max(p["order"].shape[0] for p in pre)
 
