@@ -517,3 +517,21 @@ def test_list_checkpoints_range(tmp_path):
     assert [s for s, _ in list_checkpoints(str(tmp_path), min_step=10)] == [10, 15, 20]
     assert [s for s, _ in list_checkpoints(str(tmp_path), max_step=15)] == [5, 10, 15]
     assert [s for s, _ in list_checkpoints(str(tmp_path), 10, 15)] == [10, 15]
+
+
+def test_fast_preset_ladder_config():
+    """veon_b_fast/fast2 differ from veon_b ONLY in dav2_target (the
+    accuracy-gated serving knob) — same weights contract, same topology."""
+    import dataclasses
+
+    from veon_tpu.configs import presets
+
+    base = presets.veon_b()
+    for name, tgt in (("veon_b_fast", 224), ("veon_b_fast2", 196)):
+        fast = getattr(presets, name)()
+        assert fast.data.dav2_target == tgt
+        assert dataclasses.replace(
+            fast, data=dataclasses.replace(fast.data, dav2_target=252)) == base
+        # same CLI contract as veon_b (benchmark passes compute_dtype)
+        assert getattr(presets, name)(
+            num_temporal=2, compute_dtype="bfloat16").num_temporal == 2

@@ -86,6 +86,31 @@ def veon_l(num_temporal: int = 1) -> VeonConfig:
     )
 
 
+def veon_b_fast(num_temporal: int = 1, compute_dtype: str = "float32") -> VeonConfig:
+    """VEON-B fast serving tier 1: DA-V2 input lower-bound 224 (vs the
+    252 reference protocol, tools/analysis_tools/benchmark.py:73-96).
+
+    The depth tower is ~47% of the frame's FLOPs and scales quadratically
+    with the DA-V2 token count, so shrinking its input is the one
+    accuracy-gated knob with protocol-scale wins (same-run chip A/B:
+    136.5 -> 115.3 ms/frame fp32). Weights unchanged — the ViT interpolates
+    its pos-embed to the smaller grid — so the preset loads the same
+    checkpoints; judge the mIoU cost with `selftest`/`test` on weights day
+    before shipping it."""
+    cfg = veon_b(num_temporal=num_temporal, compute_dtype=compute_dtype)
+    return dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, dav2_target=224))
+
+
+def veon_b_fast2(num_temporal: int = 1, compute_dtype: str = "float32") -> VeonConfig:
+    """VEON-B fast serving tier 2: DA-V2 lower-bound 196 (chip A/B:
+    136.5 -> 103.6 ms/frame fp32). Same contract as `veon_b_fast`, larger
+    expected accuracy cost — gate on real-weights eval before use."""
+    cfg = veon_b(num_temporal=num_temporal, compute_dtype=compute_dtype)
+    return dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, dav2_target=196))
+
+
 def veon_b_zoe(num_temporal: int = 1, compute_dtype: str = "float32") -> VeonConfig:
     """VEON-B with the ZoeDepth-NK (MiDaS BEiT-L-384) depth branch
     (configs/veon/veon-temporal-base-512x1408-zoe-nodepthcache.py)."""
