@@ -310,6 +310,10 @@ class VeonModel(nn.Module):
         # under camera sharding the cross-camera psum completing the splat
         # happens INSIDE the lift (LSSLift.psum_axis), on the full-res grid
         # before its ds max-pool — max does not commute with the sum
+        # parity harness: one sow per frame, in call order (prev frames
+        # first, current last) — the per-frame analog of the reference's
+        # occ_decoder.forward_early boundary (align_net_occ3d.py:268-280)
+        self.sow("intermediates", "early_vox_frames", vox)
         return vox, feats_f
 
     # ------------------------------------------------------------------

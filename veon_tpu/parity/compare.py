@@ -6,11 +6,16 @@ every module boundary within per-boundary tolerances, so validating real
 checkpoints is MECHANICAL: convert -> `veon_tpu parity --dumps <dir>` ->
 read the table.
 
-Boundary-level comparison requires an F=1 (single-frame) dump — the
-recommended weights-day config — because the reference packs previous
-frames into the same B*F*N camera axis with its own split convention
-(`san_in_veon_temporal.py:146-160`); with F>1 dumps only the final outputs
-are compared.
+F>1 (temporal) dumps get a PER-FRAME boundary table: the reference packs
+frames into the B*N*F camera axis CAM-major/frame-minor with frame 0 =
+current (`split_image_style_tensors`, `san_in_veon_temporal.py:315-319`),
+and its per-frame modules (hsa / rec_update / lift / occ_early) fire once
+per frame, previous frames first, current last — matching this model's
+call order — so call index j maps directly. Per-frame boundaries carry an
+`@p<i>` suffix for previous frame i (1-based); the bare name is the
+current frame. Single-call boundaries (clip trunk, side adapter, rec head)
+run over all frames at once on the reference side and are sliced to the
+current frame before comparison.
 
 Layout adapters (torch -> this repo):
   images/features   NCHW -> NHWC
@@ -46,6 +51,8 @@ class Tol:
 # are tight; the 3D stage accumulates (lift scatter + BN + trilinear).
 BOUNDARIES: Dict[str, Tol] = {
     "depth_pred": Tol(0.999, 1e-2),
+    "zoe_rel_depth": Tol(0.999, 1e-2),
+    "occ_early": Tol(0.998, 2e-2),
     "clip_tokens": Tol(0.9995, 5e-3),
     "sa_mask_preds": Tol(0.999, 1e-2),
     "sa_attn_bias": Tol(0.999, 1e-2),
@@ -87,20 +94,26 @@ def load_dumps(dumps_dir: str):
 
 
 def batch_from_inputs(inputs: Dict[str, np.ndarray], num_cams: int = 6):
-    """Torch dump layout -> this repo's (B, F, N, ...) jax batch."""
+    """Torch dump layout -> this repo's (B, F, N, ...) jax batch.
+
+    The dump's camera axis is (N, F) CAM-major/frame-minor with frame 0 =
+    current (`split_image_style_tensors` reshapes (B, n_cam, N_T, ...)),
+    while this repo is frame-major — unpack (B, N, F) then swap. F=1 is
+    layout-identical either way."""
     import jax.numpy as jnp
 
-    imgs = inputs["imgs"]  # (B, F*N, 3, H, W)
+    imgs = inputs["imgs"]  # (B, N*F, 3, H, W) cam-major
     B, FN = imgs.shape[:2]
     F = FN // num_cams
     N = num_cams
 
     def cams(x, trailing):
-        return jnp.asarray(x.reshape((B, F, N) + x.shape[2:][:trailing]))
+        x = x.reshape((B, N, F) + x.shape[2:][:trailing])
+        return jnp.asarray(np.swapaxes(x, 1, 2))
 
     batch = {
         "imgs": jnp.asarray(
-            imgs.reshape(B, F, N, *imgs.shape[2:]).transpose(0, 1, 2, 4, 5, 3)),
+            imgs.reshape(B, N, F, *imgs.shape[2:]).transpose(0, 2, 1, 4, 5, 3)),
         "depth": cams(inputs["depth"], 2),
         "metas": {
             "sensor2egos": cams(inputs["sensor2egos"], 2),
@@ -122,9 +135,9 @@ def batch_from_inputs(inputs: Dict[str, np.ndarray], num_cams: int = 6):
         batch["metas"]["prev_lidarego2global"] = jnp.asarray(
             np.stack(prevs, axis=1))
     if "depth_imgs_flat" in inputs:
-        d = inputs["depth_imgs_flat"]  # (B*F*N, 3, Hd, Wd)
+        d = inputs["depth_imgs_flat"]  # (B*N*F, 3, Hd, Wd) cam-major
         batch["depth_imgs"] = jnp.asarray(
-            d.reshape(B, F, N, *d.shape[1:]).transpose(0, 1, 2, 4, 5, 3))
+            d.reshape(B, N, F, *d.shape[1:]).transpose(0, 2, 1, 4, 5, 3))
     return batch, F
 
 
@@ -134,8 +147,18 @@ def _densify_hsa(factors: np.ndarray) -> np.ndarray:
     return np.einsum("ablhd,abmhd->abhlm", factors, factors)
 
 
+def _frame_tag(j: int, n_calls: int) -> str:
+    """Per-frame key suffix: calls run prev frames first (f=1..F-1), the
+    current frame LAST — bare name for current, `@p<i>` for previous i."""
+    return "" if j == n_calls - 1 else f"@p{j + 1}"
+
+
 def run_jax_boundaries(model, variables, batch, ov_weight) -> Dict[str, np.ndarray]:
-    """Forward the converted model capturing the boundary modules' outputs."""
+    """Forward the converted model capturing the boundary modules' outputs.
+
+    Per-frame modules (hsa / rec_update / lift-vox) fire once per frame;
+    their previous-frame calls get `@p<i>`-suffixed keys (F=1 emits exactly
+    the bare-name table)."""
     import jax
 
     capture = {"clip_visual", "side_adapter", "rec_head", "hsa",
@@ -169,19 +192,32 @@ def run_jax_boundaries(model, variables, batch, ov_weight) -> Dict[str, np.ndarr
         got["sa_attn_bias"] = np.asarray(attn_bias)
     for c in calls("rec_head"):
         got["rec_mask_embs"] = np.asarray(c)
-    for c in calls("rec_head", "update_remaining"):
+    upd = calls("rec_head", "update_remaining")
+    for j, c in enumerate(upd):
         if isinstance(c, dict) and "clip_feat_proj" in c:
-            got["rec_update_proj"] = np.asarray(c["clip_feat_proj"])
-    for c in calls("hsa"):
+            got[f"rec_update_proj{_frame_tag(j, len(upd))}"] = \
+                np.asarray(c["clip_feat_proj"])
+    hsa_calls = calls("hsa")
+    for j, c in enumerate(hsa_calls):
         factors, supp = c
-        got["hsa_attn_dense"] = _densify_hsa(np.asarray(factors))
-        got["hsa_supp"] = np.asarray(supp)
-    for c in calls("lift_fusion"):
-        got["lift_fused_2d"] = np.asarray(c)
+        tag = _frame_tag(j, len(hsa_calls))
+        got[f"hsa_attn_dense{tag}"] = _densify_hsa(np.asarray(factors))
+        got[f"hsa_supp{tag}"] = np.asarray(supp)
+    lf = calls("lift_fusion")
+    for j, c in enumerate(lf):
+        got[f"lift_fused_2d{_frame_tag(j, len(lf))}"] = np.asarray(c)
     for c in calls("alignnet"):
         got["occ_bin"] = np.asarray(c["bin_occ"])
         got["occ_feat"] = np.asarray(c["feat_occ"])
-    if "early_vox" in out:
+    # per-frame early vox (sown in _early_vox, prev frames first): the
+    # analog of the reference's lift / occ_early boundaries per frame
+    vox_frames = inter.get("early_vox_frames", ())
+    for j, v in enumerate(vox_frames):
+        tag = _frame_tag(j, len(vox_frames))
+        got[f"lift_vox{tag}"] = np.asarray(v)
+        if tag:
+            got[f"occ_early{tag}"] = np.asarray(v)
+    if not vox_frames and "early_vox" in out:
         got["lift_vox"] = np.asarray(out["early_vox"])
     for k in ("sem_seg_ds", "sem_embed_ds", "clip_feat", "bin_occ",
               "feat_occ"):
@@ -193,20 +229,45 @@ def _nchw(x):
     return x.transpose(0, 2, 3, 1)
 
 
-def reference_boundaries(bnd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+def reference_boundaries(bnd: Dict[str, np.ndarray], B: int = 1, F: int = 1,
+                         num_cams: int = 6) -> Dict[str, np.ndarray]:
     """Torch dump keys/layouts -> comparator keys in this repo's layouts.
 
     Keys follow dump_reference.py's flattener: "<boundary>#<call>/<path>".
-    Uses the LAST call of per-frame modules (the current frame — the
-    reference runs previous frames first, `san_in_veon_temporal.py:158-173`;
-    with F=1 there is exactly one call).
+    Per-frame modules fire once per frame, previous frames first and the
+    current frame LAST (`san_in_veon_temporal.py:158-173`) — call j gets
+    the same `@p<i>`/bare tag as the jax side. Single-call boundaries run
+    over all B*N*F frames cam-major; the current frame is sliced out
+    (this model runs the decode on the current frame only).
     """
     ref: Dict[str, np.ndarray] = {}
 
-    def last_call(prefix):
+    def cur(x):
+        """(B*N*F, ...) cam-major -> current-frame (B*N, ...)."""
+        if F == 1 or x.shape[0] != B * num_cams * F:
+            return x
+        bn = B * num_cams
+        return x.reshape((B, num_cams, F) + x.shape[1:])[:, :, 0] \
+                .reshape((bn,) + x.shape[1:])
+
+    def frame_major(x, axis=0):
+        """(..., B*N*F, ...) cam-major -> frame-major (this model's CLIP
+        trunk runs ALL frames in one flattened (B, F, N) pass)."""
+        if F == 1 or x.shape[axis] != B * num_cams * F:
+            return x
+        x = np.moveaxis(x, axis, 0)
+        x = x.reshape((B, num_cams, F) + x.shape[1:])
+        x = np.swapaxes(x, 1, 2).reshape((B * F * num_cams,) + x.shape[3:])
+        return np.moveaxis(x, 0, axis)
+
+    def all_calls(prefix):
         idxs = {int(k.split("#")[1].split("/")[0])
                 for k in bnd if k.startswith(prefix + "#")}
-        return max(idxs) if idxs else None
+        return sorted(idxs)
+
+    def last_call(prefix):
+        idxs = all_calls(prefix)
+        return idxs[-1] if idxs else None
 
     c = last_call("clip_tokens")
     if c is not None:
@@ -215,9 +276,10 @@ def reference_boundaries(bnd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
                 continue
             sub = k.split("/", 1)[1]
             if sub.endswith("_cls_token"):
-                ref[f"clip_tokens.{sub[:-10]}_cls"] = v.transpose(1, 0, 2)
+                ref[f"clip_tokens.{sub[:-10]}_cls"] = frame_major(
+                    v.transpose(1, 0, 2))
             else:
-                ref[f"clip_tokens.{sub}"] = _nchw(v)
+                ref[f"clip_tokens.{sub}"] = frame_major(_nchw(v))
     c = last_call("side_adapter")
     if c is not None:
         # (mask_preds list, attn_biases list-of-list, san_features): eval
@@ -225,36 +287,53 @@ def reference_boundaries(bnd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         # side_adaptor_in_veon.py:181-192)
         mp = [k for k in bnd if k.startswith(f"side_adapter#{c}/0/")]
         if mp:
-            ref["sa_mask_preds"] = bnd[sorted(mp)[-1]]
+            ref["sa_mask_preds"] = cur(bnd[sorted(mp)[-1]])
         ab = [k for k in bnd if k.startswith(f"side_adapter#{c}/1/")]
         if ab:
-            ref["sa_attn_bias"] = bnd[sorted(ab)[-1]]
+            ref["sa_attn_bias"] = cur(bnd[sorted(ab)[-1]])
     c = last_call("rec_mask_embs")
     if c is not None:
-        ref["rec_mask_embs"] = bnd[f"rec_mask_embs#{c}"]
-    c = last_call("hsa")
-    if c is not None:
+        ref["rec_mask_embs"] = cur(bnd[f"rec_mask_embs#{c}"])
+    hsa_calls = all_calls("hsa")
+    for j, c in enumerate(hsa_calls):
+        tag = _frame_tag(j, len(hsa_calls))
         # (offsets, attns, supp); attns dense (A,B,heads,L,L); supp is the
         # LAST entry of the supp list (the consumed one)
         att = sorted(k for k in bnd if k.startswith(f"hsa#{c}/1/"))
         if att:
-            ref["hsa_attn_dense"] = np.stack([bnd[k] for k in att]) \
+            ref[f"hsa_attn_dense{tag}"] = np.stack([bnd[k] for k in att]) \
                 if bnd[att[0]].ndim == 4 else bnd[att[-1]]
         supp = sorted(k for k in bnd if k.startswith(f"hsa#{c}/2/"))
         if supp:
-            ref["hsa_supp"] = _nchw(bnd[supp[-1]])
+            ref[f"hsa_supp{tag}"] = _nchw(bnd[supp[-1]])
         elif f"hsa#{c}/2" in bnd:
-            ref["hsa_supp"] = _nchw(bnd[f"hsa#{c}/2"])
-    c = last_call("lift")
-    if c is not None:
+            ref[f"hsa_supp{tag}"] = _nchw(bnd[f"hsa#{c}/2"])
+    lift_calls = all_calls("lift")
+    for j, c in enumerate(lift_calls):
         v = bnd[f"lift#{c}"] if f"lift#{c}" in bnd else bnd.get(f"lift#{c}/0")
         if v is not None and v.ndim == 5:  # (B, C, Z, Y, X)
-            ref["lift_vox"] = v.transpose(0, 2, 3, 4, 1)
-    c = last_call("rec_update")
-    if c is not None:
+            ref[f"lift_vox{_frame_tag(j, len(lift_calls))}"] = \
+                v.transpose(0, 2, 3, 4, 1)
+    for tid in all_calls("occ_early"):
+        # forward_early returns fuse(0, ...) == the lift output for that
+        # previous frame, PRE ego-align (align_net_occ3d.py:268-280 + the
+        # wrap in dump_reference.py) — previous frames only
+        v = bnd[f"occ_early#{tid}"] if f"occ_early#{tid}" in bnd \
+            else bnd.get(f"occ_early#{tid}/0")
+        if v is not None and v.ndim == 5:
+            ref[f"occ_early@p{tid + 1}"] = v.transpose(0, 2, 3, 4, 1)
+    upd_calls = all_calls("rec_update")
+    for j, c in enumerate(upd_calls):
         v = bnd.get(f"rec_update#{c}/clip_feat_proj")
         if v is not None and v.ndim == 4:  # (BN, C, h, w)
-            ref["rec_update_proj"] = _nchw(v)
+            ref[f"rec_update_proj{_frame_tag(j, len(upd_calls))}"] = _nchw(v)
+    c = last_call("zoe_core")
+    if c is not None:
+        # MidasCore(x, return_rel_depth=True) -> (rel_depth, features); the
+        # rel-depth trunk boundary localizes zoe trunk-vs-bins mismatches
+        v = bnd.get(f"zoe_core#{c}/0")
+        if v is not None:
+            ref["zoe_rel_depth"] = v
     c = last_call("occ_heads")
     if c is not None:
         for name, key in (("occ_bin", "bin_occ"), ("occ_feat", "feat_occ")):
@@ -299,35 +378,48 @@ def compare_dumps(
             "dump has no ov_classifier_weight (outputs boundary) — "
             "re-dump with the stock dump_reference.py")
 
-    ref = reference_boundaries(bnd)
+    B = int(inputs["imgs"].shape[0])
+    ref = reference_boundaries(bnd, B=B, F=F, num_cams=num_cams)
     got: Dict[str, np.ndarray] = {}
-    if F == 1:
-        got.update(run_jax_boundaries(model, variables, batch, ovw))
-    else:
-        log(f"F={F} dump: boundary-level comparison needs F=1 — "
-            "comparing final outputs only")
-        import jax
-
-        out = jax.jit(model.apply, static_argnames=("train",))(
-            variables, batch["imgs"], batch["depth"], batch["metas"], ovw,
-            train=False)
-        for k in ("sem_seg_ds", "sem_embed_ds", "clip_feat", "bin_occ",
-                  "feat_occ"):
-            got[f"out_{k}"] = np.asarray(out[k])
+    got.update(run_jax_boundaries(model, variables, batch, ovw))
     if "depth_imgs" in batch and "depth" in inputs:
         import jax
 
-        dp = jax.jit(model.apply, static_argnames=("method",))(
-            variables, batch["depth_imgs"], method="estimate_depth")
+        if "zoe_rel_depth" in ref:
+            # also capture the MiDaS-core trunk boundary (nn/zoedepth.py
+            # `core`) so a zoe mismatch localizes to trunk vs bins
+            dp, state = jax.jit(
+                model.apply,
+                static_argnames=("method", "capture_intermediates",
+                                 "mutable"),
+            )(variables, batch["depth_imgs"], method="estimate_depth",
+              capture_intermediates=lambda m, _: getattr(m, "name", None) == "core",
+              mutable=("intermediates",))
+            inter = jax.device_get(state["intermediates"])
+            for node in inter.values():
+                if isinstance(node, dict) and "core" in node:
+                    for call in node["core"].get("__call__", ()):
+                        rel = call[0] if isinstance(call, tuple) else call
+                        got["zoe_rel_depth"] = np.asarray(rel)
+        else:
+            dp = jax.jit(model.apply, static_argnames=("method",))(
+                variables, batch["depth_imgs"], method="estimate_depth")
         got["depth_pred"] = np.asarray(dp)
-        B, FN = inputs["depth"].shape[:2]
-        ref["depth_pred"] = inputs["depth"].reshape(got["depth_pred"].shape)
+        # (B, N*F, h2, w2) cam-major -> (B, F, N, h2, w2)
+        d = inputs["depth"]
+        d = d.reshape(B, num_cams, F, *d.shape[2:])
+        ref["depth_pred"] = np.swapaxes(d, 1, 2)
+        if "zoe_rel_depth" in ref and "zoe_rel_depth" in got:
+            z = ref["zoe_rel_depth"]  # (B*N*F, H, W) cam-major
+            z = z.reshape(B, num_cams, F, *z.shape[1:])
+            ref["zoe_rel_depth"] = np.swapaxes(z, 1, 2).reshape(
+                got["zoe_rel_depth"].shape)
 
     tols = dict(BOUNDARIES)
     tols.update(tol_overrides or {})
     rows = []
     for name in sorted(set(ref) & set(got)):
-        base = name.split(".")[0]
+        base = name.split("@")[0].split(".")[0]
         tol = tols.get(name, tols.get(base, Tol()))
         r, g = ref[name], got[name]
         if r.shape != g.shape:

@@ -24,6 +24,9 @@ Boundary map (reference `san_in_veon_temporal.py:113-218`,
 `veon_temporal.py:201-259`, `align_net_occ3d.py:238-318`):
     depth_trunk    VeonTemporal.depth_estimator raw output (metric_depth
                    BEFORE the detector's align_corners resize)
+    zoe_core       (zoe configs) MidasCore (rel_depth, features) — splits
+                   the BEiT trunk from the metric-bins head
+                   (zoedepth_nk_v1.py:194)
     clip_tokens    FeatureExtractor ClipOutput: {k: (BFN,C,h,w),
                    "<k>_cls_token": (1,BFN,C)} per saved layer
     side_adapter   (mask_preds list, attn_biases list, san_features)
@@ -139,6 +142,11 @@ def main():
     sm = det.semantic_model.model  # SANInVeonTemporal
     rec = Recorder()
     det.depth_estimator.register_forward_hook(rec.hook("depth_trunk"))
+    # zoe configs: also hook the MiDaS core (BEiT trunk + DPT) so a depth
+    # mismatch localizes to trunk vs metric-bins head
+    # (zoedepth_nk_v1.py:194: rel_depth, out = self.core(x, ...))
+    if hasattr(det.depth_estimator, "core"):
+        det.depth_estimator.core.register_forward_hook(rec.hook("zoe_core"))
     sm.clip_visual_extractor.register_forward_hook(rec.hook("clip_tokens"))
     sm.side_adapter_network.register_forward_hook(rec.hook("side_adapter"))
     sm.clip_rec_head.register_forward_hook(rec.hook("rec_mask_embs"))
