@@ -76,7 +76,9 @@ class VeonModel(nn.Module):
     # recompute trunk blocks in the backward pass (torch.utils.checkpoint
     # equivalent, highres_side_adaptor.py:262-298 / align_net_occ3d.py:257;
     # required to fit the B=1 stage-2 backward in 16 GB HBM)
-    remat: bool = False
+    # False / True (full remat, the torch.utils.checkpoint equivalent) /
+    # a jax.checkpoint_policies name for selective remat (nn/rematutil.py)
+    remat: "bool | str" = False
     # camera-sharded SPMD serving (serve/camshard.py): the per-camera tower
     # stack runs on this mesh axis's local camera subset and the lifted
     # voxel grids are psum'd over it — the only cross-camera op in the

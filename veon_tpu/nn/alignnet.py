@@ -18,6 +18,7 @@ from flax import linen as nn
 from ..configs.base import PropagationConfig
 from ..ops.grid_sample import grid_sample_3d
 from .layers import CatFusionLift, AddFusionLift
+from .rematutil import RematSpec, remat_wrap
 
 Dtype = Any
 
@@ -294,7 +295,7 @@ class AlignNet3D(nn.Module):
     cfg: PropagationConfig
     clip_outdim: int
     bn_axis_name: Optional[str] = None
-    remat: bool = False
+    remat: RematSpec = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -305,8 +306,7 @@ class AlignNet3D(nn.Module):
             x = TemporalFusion(self.cfg.dim, seqs=self.cfg.num_temporal - 1,
                                bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                                name="temporal_fusion")(x, occ_feat_prevs, train)
-        res_body = (nn.remat(_Res3DScanBody, prevent_cse=False)
-                    if self.remat else _Res3DScanBody)
+        res_body = remat_wrap(_Res3DScanBody, self.remat)
         scan = nn.scan(
             res_body,
             variable_axes={"params": 0, "batch_stats": 0},

@@ -17,6 +17,7 @@ from flax import linen as nn
 from ..configs.base import HSAConfig
 from ..ops.resize import resize_bilinear, resize_nearest
 from .layers import ConvFFNBlock, FeedForward, LayerNorm
+from .rematutil import RematSpec, remat_wrap
 
 Dtype = Any
 
@@ -106,7 +107,7 @@ class HighresSideAdaptor(nn.Module):
     """
 
     cfg: HSAConfig
-    remat: bool = False
+    remat: RematSpec = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -129,8 +130,7 @@ class HighresSideAdaptor(nn.Module):
         clip_stack = jnp.stack(
             [clip_feats[str(add_id)] for _blk, _ca, add_id in c.fusion_map], axis=0
         )
-        hsa_body = (nn.remat(_HSAScanBody, prevent_cse=False)
-                    if self.remat else _HSAScanBody)
+        hsa_body = remat_wrap(_HSAScanBody, self.remat)
         scan = nn.scan(
             hsa_body, variable_axes={"params": 0}, split_rngs={"params": True},
             in_axes=(0,), length=len(c.fusion_map),

@@ -19,6 +19,7 @@ from ..configs.base import SANConfig
 from ..ops.resize import resize_bicubic
 from .layers import MLP, AddFusion, LayerNorm
 from .vit import ScanBlocks, TimmBlock
+from .rematutil import RematSpec, remat_wrap
 
 Dtype = Any
 
@@ -102,7 +103,7 @@ class SideAdapterNetwork(nn.Module):
     """
 
     cfg: SANConfig
-    remat: bool = False
+    remat: RematSpec = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -151,8 +152,7 @@ class SideAdapterNetwork(nn.Module):
         clip_stack = jnp.stack(
             [clip_feats[str(fusion[i])] for i in fuse_idxs[1:]], axis=0
         )
-        fused_body = (nn.remat(_FusedBlockBody, prevent_cse=False)
-                      if self.remat else _FusedBlockBody)
+        fused_body = remat_wrap(_FusedBlockBody, self.remat)
         fused_scan = nn.scan(
             fused_body, variable_axes={"params": 0},
             split_rngs={"params": True}, in_axes=(0, nn.broadcast),
@@ -164,8 +164,7 @@ class SideAdapterNetwork(nn.Module):
         # segment 2: plain blocks (+pos) up to the second-to-last block
         n_plain = c.side_depth - n_fused - 1
         if n_plain > 0:
-            plain_body = (nn.remat(_PlainBlockBody, prevent_cse=False)
-                          if self.remat else _PlainBlockBody)
+            plain_body = remat_wrap(_PlainBlockBody, self.remat)
             plain_scan = nn.scan(
                 plain_body, variable_axes={"params": 0},
                 split_rngs={"params": True}, in_axes=(nn.broadcast,),

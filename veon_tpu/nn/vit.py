@@ -20,6 +20,7 @@ from flax import linen as nn
 from ..ops.resize import resize_bicubic, resize_bicubic_scaled, adaptive_max_pool2d, resize_bilinear
 from .attention import FusedQKVAttention, SimpleAttention
 from .layers import LayerNorm, TransformerMLP, quick_gelu
+from .rematutil import RematSpec, remat_wrap
 
 Dtype = Any
 
@@ -83,11 +84,11 @@ class ScanBlocks(nn.Module):
     block_cls: Any
     block_kwargs: Tuple[Tuple[str, Any], ...]
     length: int
-    remat: bool = False  # recompute blocks in backward (torch checkpoint eq.)
+    remat: RematSpec = False  # False / True (full) / policy name (selective)
 
     @nn.compact
     def __call__(self, x):
-        body_cls = nn.remat(_ScanBody, prevent_cse=False) if self.remat else _ScanBody
+        body_cls = remat_wrap(_ScanBody, self.remat)
         body = nn.scan(
             body_cls,
             variable_axes={"params": 0},
@@ -145,7 +146,7 @@ class CLIPVisualExtractor(nn.Module):
     patch_size: int
     pretrain_grid: Tuple[int, int]
     save_layers: Tuple[int, ...] = ()
-    remat: bool = False
+    remat: RematSpec = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -282,14 +283,13 @@ class CLIPRecHead(nn.Module):
     sos_token_num: int = 100
     downsample_method: str = "max"
     cross_attn: bool = True  # REC_CROSS_ATTN (san_config.py:48)
-    remat: bool = False
+    remat: RematSpec = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
         n = self.total_layers - self.first_layer_idx
         body_cls = _RecScanBody if self.cross_attn else _RecSelfScanBody
-        if self.remat:
-            body_cls = nn.remat(body_cls, prevent_cse=False)
+        body_cls = remat_wrap(body_cls, self.remat)
         scan_cls = nn.scan(
             body_cls,
             variable_axes={"params": 0},
