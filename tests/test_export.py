@@ -199,3 +199,23 @@ def test_export_tiny_native_bundle(tmp_path):
             assert not os.path.exists(f"{out}/bind/{name}.npy")
         else:
             assert os.path.exists(f"{out}/bind/{name}.npy"), name
+
+
+def test_export_tiny_native_split_output(tmp_path):
+    """--split-output bundle: K pred.<i> outputs (the chunked-fetch
+    restructure for the round-4 native full-scale fetch hang), manifest
+    records split_concat, and concatenating the chunk avals reproduces the
+    unsplit pred shape."""
+    import json
+
+    from veon_tpu.utils.export import export_tiny_native
+
+    out = export_tiny_native(str(tmp_path / "nb_split"), split_output=2)
+    man = json.load(open(f"{out}/manifest.json"))
+    assert man["outputs"] == ["pred.0", "pred.1"]
+    assert man["split_concat"] == {"axis": 1, "parts": 2, "name": "pred"}
+    assert len(man["out_shapes"]) == 2
+    # (1, 20, 20, 4) int32 pred -> two (1, 10, 20, 4) chunks
+    assert all("1,10,20,4" in s.replace(" ", "").replace("(", ",")
+               or "10,20,4" in s.replace(" ", "") for s in man["out_shapes"]), \
+        man["out_shapes"]

@@ -1329,7 +1329,8 @@ def cmd_export(args):
                     "veon_b flagship graph only (or veon_tiny_test for the "
                     "daemon integration smoke); use --num-temporal > 1 "
                     "for preset-parameterized streaming bundles")
-            export_flagship_native(outdir)
+            export_flagship_native(
+                outdir, split_output=getattr(args, "split_output", 1))
         print("exported native bundle:", outdir,
               "(see manifest.json serve_cmd)")
         return
@@ -1429,6 +1430,11 @@ def main(argv=None):
                             "(module.mlir + --bind npys + manifest) for "
                             "veon_serve_host/veon_pjrt_runner instead of "
                             "the jax .stablehlo envelope")
+        p.add_argument("--split-output", type=int, default=1,
+                       help="export --native (flagship): return the pred "
+                            "grid as K row chunks so no single output "
+                            "buffer takes the full-scale fetch path "
+                            "(manifest records split_concat)")
         p.add_argument("--version", default="v1.0-trainval",
                        help="create-infos: nuScenes table version directory "
                             "under --data-root")

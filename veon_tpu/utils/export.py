@@ -230,10 +230,46 @@ def export_streaming_native(outdir: str, preset: str = "veon_b",
                                 out_names=tuple(out_names))
 
 
-def export_flagship_native(outdir: str) -> str:
+def _split_pred_fn(fn, k: int, tuple_out: bool = False):
+    """Wrap fn so its (B, X, Y, Z) pred returns as k row chunks on axis 1
+    (the full-scale single-output fetch is the one untested factor in the
+    round-4 native-hang bisect — NOTES.md "Native full-graph execution")."""
+    import jax.numpy as jnp
+
+    def split_fn(*a):
+        pred = fn(*a)
+        if tuple_out:
+            (pred,) = pred
+        return tuple(jnp.split(pred, k, axis=1))
+
+    return split_fn
+
+
+def _annotate_split(outdir: str, k: int) -> None:
+    import json
+
+    mpath = os.path.join(outdir, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["split_concat"] = {"axis": 1, "parts": k, "name": "pred"}
+    with open(mpath, "w") as f:
+        json.dump(manifest, f, indent=1)
+
+
+def export_flagship_native(outdir: str, split_output: int = 1) -> str:
     """Native-consumer bundle for the single-frame flagship forward
     (entry()): params/metas/classifier bound from disk, imgs + depth_imgs
-    per request, one fused occupancy output."""
+    per request, one fused occupancy output.
+
+    split_output > 1: the (B, X, Y, Z) pred is returned as K row chunks
+    along X (pred.0..pred.K-1; the consumer concatenates on axis 1, as
+    recorded in manifest["split_concat"]). Round-4 bisect isolated a
+    plugin-internal hang on the FULL graph's single 2.5 MB output fetch
+    (NOTES.md "Native full-graph execution") with every size/arity/kernel
+    factor individually exonerated — splitting the fetch into K small
+    ToHostBuffer calls is the one untested restructuring; both native
+    consumers already loop over n_out outputs unchanged."""
+    import json
     import sys
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -241,13 +277,21 @@ def export_flagship_native(outdir: str) -> str:
     from __graft_entry__ import entry
 
     fn, args = entry()
-    return export_native_bundle(
-        fn, args, outdir,
+    if split_output <= 1:
+        return export_native_bundle(
+            fn, args, outdir,
+            arg_names=("params", "imgs", "depth_imgs", "metas", "ovw"),
+            request_args=("imgs", "depth_imgs"), out_names=("pred",))
+    export_native_bundle(
+        _split_pred_fn(fn, split_output), args, outdir,
         arg_names=("params", "imgs", "depth_imgs", "metas", "ovw"),
-        request_args=("imgs", "depth_imgs"), out_names=("pred",))
+        request_args=("imgs", "depth_imgs"),
+        out_names=tuple(f"pred.{i}" for i in range(split_output)))
+    _annotate_split(outdir, split_output)
+    return outdir
 
 
-def export_tiny_native(outdir: str) -> str:
+def export_tiny_native(outdir: str, split_output: int = 1) -> str:
     """veon_tiny_test-config native bundle: the same request/bind/output
     contract as the flagship bundle at ~1000x less compute — the
     END-TO-END INTEGRATION SMOKE for the native daemon (compile + bind +
@@ -282,6 +326,15 @@ def export_tiny_native(outdir: str) -> str:
                                             axis=-1)
         return (fusion_rule(merged, out["bin_occ"]),)
 
+    if split_output > 1:
+        export_native_bundle(
+            _split_pred_fn(fn, split_output, tuple_out=True),
+            (variables, imgs, depth_imgs, metas, ovw), outdir,
+            arg_names=("params", "imgs", "depth_imgs", "metas", "ovw"),
+            request_args=("imgs", "depth_imgs"),
+            out_names=tuple(f"pred.{i}" for i in range(split_output)))
+        _annotate_split(outdir, split_output)
+        return outdir
     return export_native_bundle(
         fn, (variables, imgs, depth_imgs, metas, ovw), outdir,
         arg_names=("params", "imgs", "depth_imgs", "metas", "ovw"),
