@@ -113,3 +113,29 @@ def test_grid_sample_3d_matches_torch(align_corners, padding_mode):
         grid_sample_3d(jnp.asarray(x), jnp.asarray(grid), align_corners, padding_mode)
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ln_dense_pallas_matches_xla_pair():
+    """Fused LN->Dense kernel == the unfused LayerNorm+matmul pair it
+    replaces (fp32 LN internals, fp32-accumulated matmul), bf16 and f32,
+    including non-tile-multiple M."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from veon_tpu.ops.fused_ln import ln_dense_pallas, ln_dense_xla
+
+    rng = np.random.default_rng(0)
+    for dt, M, C, N, rtol in ((jnp.float32, 700, 128, 256, 2e-6),
+                              (jnp.bfloat16, 1500, 384, 1152, 2e-2)):
+        x = jnp.asarray(rng.standard_normal((M, C)).astype(np.float32)).astype(dt)
+        s = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C).astype(np.float32))
+        b = jnp.asarray(0.1 * rng.standard_normal(C).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((C, N)).astype(np.float32) / np.sqrt(C)).astype(dt)
+        wb = jnp.asarray(0.1 * rng.standard_normal(N).astype(np.float32))
+        got = ln_dense_pallas(x, s, b, w, wb)
+        want = jax.jit(ln_dense_xla)(x, s, b, w, wb)
+        assert got.dtype == want.dtype == dt
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=rtol, atol=rtol)

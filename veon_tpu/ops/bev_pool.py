@@ -87,8 +87,15 @@ def _bev_pool_scan(depth, feat, ranks, num_cells, unroll=1):
 # on the MXU. Output rows are written exactly once (no read-modify-write).
 # ---------------------------------------------------------------------------
 
-BEV_POOL_BLOCK_CELLS = 1024
-BEV_POOL_CHUNK = 512
+BEV_POOL_BLOCK_CELLS = 512
+BEV_POOL_CHUNK = 256
+# Block/chunk sizing (round-5 on-chip matrix, P=900k bf16 pooled stream,
+# identical checksums across configs): one-hot MXU work scales linearly
+# with BLOCK_CELLS (each 128-point group multiplies a (cells x 128)
+# one-hot), and each block ROUNDS its stream slice to CHUNK boundaries, so
+# waste rows grow with CHUNK — the kernel is boundary-waste/MXU bound, NOT
+# DMA-latency bound (512/256: 7.57 ms vs the old 1024/512: 8.21; 2048-cell
+# blocks: 10.4).
 # Rank-stream layout. packed=True stores the sorted rank as a lane-packed
 # (P/128, 128) int32 array (4 B per point of DMA); False keeps the legacy
 # (P, 128) lane-broadcast layout (512 B per point — a second HBM stream as
