@@ -36,7 +36,10 @@ def test_stage2_trainable_partition():
     assert not stage2_trainable(("depth", "pretrained", "x"))
     assert not stage2_trainable(("side_adapter", "last_block", "kernel"))
     assert not stage2_trainable(("rec_head", "resblocks", "k"))
-    assert stage2_trainable(("clip_visual", "positional_embedding"))
+    # frozen_exclude=["positional_embedding"] (san_config.py:46) is vacuous
+    # in stage 2: the whole extractor runs under torch.no_grad
+    # (san_in_veon_temporal.py:123-139), so pos-embed never moves
+    assert not stage2_trainable(("clip_visual", "positional_embedding"))
     assert not stage2_trainable(("clip_visual", "segment_0_3", "kernel"))
     assert stage2_trainable(("hsa", "x"))
     assert stage2_trainable(("alignnet", "x"))
@@ -77,6 +80,11 @@ def test_single_device_train_step_updates_only_trainable():
         moved(a, b) for a, b in zip(
             jax.tree_util.tree_leaves(old_params["side_adapter"]),
             jax.tree_util.tree_leaves(state.params["side_adapter"]))
+    )
+    assert not any(
+        moved(a, b) for a, b in zip(
+            jax.tree_util.tree_leaves(old_params["clip_visual"]),
+            jax.tree_util.tree_leaves(state.params["clip_visual"]))
     )
     assert any(
         moved(a, b) for a, b in zip(

@@ -196,6 +196,15 @@ class VeonModel(nn.Module):
         # frame only — previous frames never consume their outputs
         # (forward_early, align_net_occ3d.py:268-280, skips the SAN decode).
         clip_feats = self.clip_ext(clip_input)
+        if train:
+            # the reference's stage-2 no_grad boundary
+            # (san_in_veon_temporal.py:123-139): CLIP features are detached
+            # everywhere downstream (side adapter, rec head, HSA injection,
+            # deep-CLIP rerun). Nothing trainable sits upstream, so this is
+            # semantics-neutral — and it lets XLA drop the CLIP-trunk and
+            # side-adapter backward passes instead of differentiating
+            # through frozen towers.
+            clip_feats = jax.lax.stop_gradient(clip_feats)
 
         def frame(x, f):
             return _unflatten_cams(x, B, F, N)[:, f]
@@ -249,6 +258,14 @@ class VeonModel(nn.Module):
         c = self.cfg
         mask_preds, attn_bias, _san_feats = self.side_adapter(flat0, feats0_2d)
         mask_embs = self.rec_head(feats0_2d, attn_bias, normalize=True)
+        if train:
+            # side adapter + rec-head mask embeddings sit inside the
+            # reference's stage-2 no_grad block (san_in_veon_temporal.py:
+            # 123-139); with clip_feats already stopped and both towers
+            # frozen this is a no-op today, but it pins the boundary if
+            # trainability ever changes.
+            mask_preds, attn_bias, mask_embs = jax.lax.stop_gradient(
+                (mask_preds, attn_bias, mask_embs))
         vox, feats_0 = self._early_vox(flat0, feats0_2d, depth0, lift0_args,
                                        presorted)
         occ = self.alignnet(vox, occ_feat_prevs if occ_feat_prevs else None, train=train)

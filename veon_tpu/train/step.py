@@ -38,20 +38,21 @@ class TrainState(struct.PyTreeNode):
     ema_updates: jnp.ndarray
 
 
-STAGE2_FROZEN_PREFIXES = ("depth", "side_adapter")
-# CLIP towers frozen except the visual positional embedding
-# (FeatureExtractor frozen_exclude=["positional_embedding"], san_config.py:46;
-# rec head fully frozen, CLIP_DEEPER_FROZEN_EXCLUDE=[]; detector-level freeze
-# of depth estimator + side adapter: veon_temporal.py:88-96).
+STAGE2_FROZEN_PREFIXES = ("depth", "side_adapter", "clip_visual", "rec_head")
+# CLIP towers fully frozen in stage 2. The config marks the visual
+# positional embedding trainable (frozen_exclude=["positional_embedding"],
+# san_config.py:46) but the stage-2 forward runs the whole CLIP extractor /
+# side adapter / rec-head block under torch.no_grad
+# (san_in_veon_temporal.py:123-139), so it never receives a gradient and
+# never moves — the EFFECTIVE trainable set is hsa/lift_fusion/alignnet
+# only. VeonModel mirrors the no_grad boundary with stop_gradient at
+# train=True, which also lets XLA drop the tower backward entirely.
+# Detector-level freeze of depth + side adapter: veon_temporal.py:88-96.
 
 
 def stage2_trainable(path: Tuple[str, ...]) -> bool:
     top = path[0]
     if top in STAGE2_FROZEN_PREFIXES:
-        return False
-    if top == "clip_visual":
-        return path[-1] == "positional_embedding"
-    if top == "rec_head":
         return False
     return True  # hsa, lift_fusion, alignnet
 
