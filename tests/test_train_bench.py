@@ -21,6 +21,23 @@ def test_parse_policy_tokens():
     assert _parse_policy(" dots_saveable ") == "dots_saveable"
 
 
+def test_remat_policy_flag_threads_to_model():
+    """`train --remat dots_saveable` must reach VeonModel.remat (train only;
+    eval builds always run remat=False)."""
+    from veon_tpu.cli.main import _build_model_and_params
+    from veon_tpu.configs import presets
+
+    cfg = presets.veon_tiny_test()
+    model, *_ = _build_model_and_params(cfg, train=True,
+                                        remat_policy="dots_saveable")
+    assert model.remat == "dots_saveable"
+    model, *_ = _build_model_and_params(cfg, train=True, remat_policy=None)
+    assert model.remat is True
+    model, *_ = _build_model_and_params(cfg, train=False,
+                                        remat_policy="dots_saveable")
+    assert model.remat is False
+
+
 def test_train_bench_tiny_policy_leg():
     from veon_tpu.utils import train_bench as tb
 

@@ -89,7 +89,7 @@ def _text_classifier(cfg, prompts, extras, bpe_path=None, require_bpe=True):
 
 
 def _build_model_and_params(cfg, ckpt=None, san_ckpt=None, depth_ckpt=None,
-                            train=False, bpe_path=None):
+                            train=False, bpe_path=None, remat_policy=None):
     import jax
     import jax.numpy as jnp
 
@@ -97,9 +97,13 @@ def _build_model_and_params(cfg, ckpt=None, san_ckpt=None, depth_ckpt=None,
     from ..nn import text as text_mod
 
     # training needs remat (block recompute in backward): without it the
-    # B=1 stage-2 backward wants ~21 GB vs the chip's 15.75 GB HBM
+    # B=1 stage-2 backward wants ~21 GB vs the chip's 15.75 GB HBM.
+    # remat_policy selects the jax.checkpoint policy (train only): True =
+    # full block recompute; "dots_saveable" saves matmul outputs and
+    # measured ~1.4% faster at +2.1 GB temp (utils/train_bench, NOTES).
+    remat = remat_policy if (train and remat_policy is not None) else train
     model = VeonModel(cfg=cfg, bn_axis_name="batch" if train else None,
-                      remat=train)
+                      remat=remat)
     prompts, refl = text_mod.build_vocabulary(cfg.vocabulary)
     rng = np.random.default_rng(0)
     # placeholder classifier; replaced with the real text-tower encoding
@@ -187,9 +191,12 @@ def cmd_train(args):
               getattr(args, "dist_process_id", None))
 
     cfg = _build_cfg(args)
+    from ..utils.train_bench import _parse_policy
+
     model, variables, ovw, refl, _extras = _build_model_and_params(
         cfg, san_ckpt=args.load_from, depth_ckpt=args.depth_load_from, train=True,
         bpe_path=getattr(args, "bpe_path", None),
+        remat_policy=_parse_policy(getattr(args, "remat", "full")),
     )
     if jax.process_index() == 0:
         print(param_table(variables["params"], stage2_trainable))
@@ -1366,6 +1373,11 @@ def main(argv=None):
         p.add_argument("--accum-steps", type=int, default=1,
                        help="gradient accumulation micro-steps per optimizer update (effective batch = batch-size x devices x this)")
         p.add_argument("--lr", type=float, default=1e-4)
+        p.add_argument("--remat", default="full",
+                       help="training remat policy: full (block recompute, "
+                            "default), none, or a jax.checkpoint_policies "
+                            "name (dots_saveable measured -1.4%% step time "
+                            "at +2.1 GB temp HBM; see utils/train_bench)")
         p.add_argument("--epochs", type=int, default=24)
         p.add_argument("--load-from", default=None, help="SAN/VEON semantic .pth")
         p.add_argument("--depth-load-from", default=None, help="depth .pth")
