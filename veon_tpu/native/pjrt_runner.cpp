@@ -156,18 +156,20 @@ int main(int argc, char** argv) {
   CHECK_OK(vp::execute(exec, args_buf, &outs));
   std::printf("execute dispatched; reading back...\n");
 
+  // all transfers started before any await: a sequential fetch-await loop
+  // deadlocks multi-output results on lazy proxy plugins (to_host_all doc)
+  std::vector<PJRT_Buffer_Type> types;
+  std::vector<std::vector<int64_t>> out_dims;
+  std::vector<std::vector<uint8_t>> out_data;
+  CHECK_OK(vp::to_host_all(outs, &types, &out_dims, &out_data, stdout));
   for (size_t i = 0; i < n_out; ++i) {
-    PJRT_Buffer_Type type;
-    std::vector<int64_t> dims;
-    std::vector<uint8_t> data;
-    CHECK_OK(vp::to_host(outs[i], &type, &dims, &data));
     vf::Tensor out;
-    if (!vp::type_frame_code(type, &out.dtype)) {
-      std::fprintf(stderr, "unsupported output type %d\n", int(type));
+    if (!vp::type_frame_code(types[i], &out.dtype)) {
+      std::fprintf(stderr, "unsupported output type %d\n", int(types[i]));
       return 1;
     }
-    out.dims.assign(dims.begin(), dims.end());
-    out.data = std::move(data);
+    out.dims.assign(out_dims[i].begin(), out_dims[i].end());
+    out.data = std::move(out_data[i]);
     std::string path = out_prefix + std::to_string(i) + ".npy";
     if (!vf::write_npy(path, out)) {
       std::fprintf(stderr, "write failed: %s\n", path.c_str());

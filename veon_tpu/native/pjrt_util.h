@@ -380,6 +380,76 @@ inline std::string to_host(PJRT_Buffer* buf, PJRT_Buffer_Type* type,
   return "";
 }
 
+// Fetch SEVERAL device buffers with every transfer STARTED before any event
+// is awaited. On lazy proxy plugins a multi-output result may only
+// materialize once all outputs are demanded — the strictly sequential
+// fetch-await loop (to_host per output) then blocks forever inside output
+// 0's transfer (observed live on the axon proxy: a tiny 4-way split pred
+// hung >8 min exactly there, while the same graph's single-output form
+// reads back in seconds). Metadata + size queries are issued first (host-
+// side), then all transfers, then all awaits. Plain local plugins see the
+// same semantics as N to_host calls.
+inline std::string to_host_all(const std::vector<PJRT_Buffer*>& bufs,
+                               std::vector<PJRT_Buffer_Type>* types,
+                               std::vector<std::vector<int64_t>>* dims,
+                               std::vector<std::vector<uint8_t>>* datas,
+                               std::FILE* progress = nullptr) {
+  const size_t n = bufs.size();
+  types->resize(n);
+  dims->resize(n);
+  datas->resize(n);
+  std::vector<PJRT_Event*> events(n, nullptr);
+  std::string first_err;
+  for (size_t i = 0; i < n && first_err.empty(); ++i) {
+    PJRT_Buffer_ElementType_Args et{};
+    et.struct_size = PJRT_Buffer_ElementType_Args_STRUCT_SIZE;
+    et.buffer = bufs[i];
+    first_err = check(g_api->PJRT_Buffer_ElementType(&et));
+    if (!first_err.empty()) break;
+    (*types)[i] = et.type;
+    PJRT_Buffer_Dimensions_Args bd{};
+    bd.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+    bd.buffer = bufs[i];
+    first_err = check(g_api->PJRT_Buffer_Dimensions(&bd));
+    if (!first_err.empty()) break;
+    (*dims)[i].assign(bd.dims, bd.dims + bd.num_dims);
+    // dst size computed locally (dense row-major: elems x type width) —
+    // the "query size" ToHostBuffer call (dst=nullptr) is itself a
+    // materialization trigger on lazy proxy plugins and can block exactly
+    // like the transfer, defeating the start-all-first strategy
+    size_t elems = 1;
+    for (int64_t d : (*dims)[i]) elems *= size_t(d);
+    const size_t width = type_size((*types)[i]);
+    if (width == 0) {
+      first_err = "unknown output element width";
+      break;
+    }
+    (*datas)[i].resize(elems * width);
+    PJRT_Buffer_ToHostBuffer_Args th{};
+    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    th.src = bufs[i];
+    th.dst = (*datas)[i].data();
+    th.dst_size = (*datas)[i].size();
+    first_err = check(g_api->PJRT_Buffer_ToHostBuffer(&th));
+    if (!first_err.empty()) break;
+    events[i] = th.event;
+    if (progress)
+      std::fprintf(progress, "transfer %zu/%zu started (%zu bytes)\n",
+                   i + 1, n, (*datas)[i].size());
+  }
+  if (progress) std::fprintf(progress, "awaiting %zu transfers...\n", n);
+  // Await (and destroy) every started event even after an error — leaking
+  // an in-flight transfer into a destroyed buffer is worse than waiting.
+  for (size_t i = 0; i < n; ++i) {
+    std::string e;
+    if (events[i] && !await_event(events[i], &e) && first_err.empty())
+      first_err = e;
+    if (progress && events[i])
+      std::fprintf(progress, "transfer %zu/%zu done\n", i + 1, n);
+  }
+  return first_err;
+}
+
 }  // namespace veon_pjrt
 
 #endif  // VEON_NATIVE_PJRT_UTIL_H_

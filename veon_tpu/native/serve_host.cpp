@@ -136,17 +136,24 @@ struct PjrtHandler : Handler {
     }
     std::vector<PJRT_Buffer*> outs(n_out, nullptr);
     if (err.empty()) err = veon_pjrt::execute(exec, args, &outs);
+    // all output transfers start before any await — a sequential
+    // fetch-await loop deadlocks multi-output results on lazy proxy
+    // plugins (pjrt_util.h to_host_all)
+    std::vector<PJRT_Buffer_Type> types;
+    std::vector<std::vector<int64_t>> odims;
+    std::vector<std::vector<uint8_t>> odata;
+    if (err.empty()) err = veon_pjrt::to_host_all(outs, &types, &odims, &odata);
     for (size_t i = 0; err.empty() && i < n_out; ++i) {
-      PJRT_Buffer_Type type;
-      std::vector<int64_t> dims;
       vf::Tensor t;
       t.name = i < out_names.size() ? out_names[i]
                                     : "out" + std::to_string(i);
-      err = veon_pjrt::to_host(outs[i], &type, &dims, &t.data);
-      if (err.empty() && !veon_pjrt::type_frame_code(type, &t.dtype))
+      if (!veon_pjrt::type_frame_code(types[i], &t.dtype)) {
         err = "unsupported output type";
-      t.dims.assign(dims.begin(), dims.end());
-      if (err.empty()) resp->push_back(std::move(t));
+        break;
+      }
+      t.dims.assign(odims[i].begin(), odims[i].end());
+      t.data = std::move(odata[i]);
+      resp->push_back(std::move(t));
     }
     for (auto* b : outs) veon_pjrt::destroy_buffer(b);
     for (auto* b : owned) veon_pjrt::destroy_buffer(b);

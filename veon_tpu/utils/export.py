@@ -314,9 +314,13 @@ def export_tiny_native(outdir: str, split_output: int = 1) -> str:
     prompts, refl = text_mod.build_vocabulary(cfg.vocabulary)
     ovw = jnp.asarray(np.random.default_rng(0).standard_normal(
         (len(prompts) + 1, cfg.san.clip_embed_dim)).astype(np.float32))
-    variables = jax.jit(model.init, static_argnames=("train", "method"))(
-        jax.random.PRNGKey(0), imgs, depth_imgs, metas, ovw, train=False,
-        method=VeonModel.full_forward)
+    # init on the local CPU backend: export only needs avals + leaf VALUES
+    # for the bind files — running init on the accelerator would claim the
+    # chip (and hang if another process holds it) for zero benefit
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = jax.jit(model.init, static_argnames=("train", "method"))(
+            jax.random.PRNGKey(0), imgs, depth_imgs, metas, ovw, train=False,
+            method=VeonModel.full_forward)
     membership = text_mod.merge_matrix(refl)
 
     def fn(params, imgs, depth_imgs, metas, ovw):
